@@ -1,0 +1,107 @@
+"""Config system tests: OpenCV-YAML parsing + reference validation rules.
+
+Mirrors the eager-validation behaviour of the reference constructors
+(feature_detector.hpp:53-107, feature_matcher.cpp:18-59,
+loop_closure.cpp:30-94).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpuslam.config.schema import (
+    DetectorConfig,
+    LoopClosureConfig,
+    MatcherConfig,
+    SlamConfig,
+)
+from tpuslam.config.yaml_io import load_opencv_yaml
+
+CONFIGS = Path(__file__).resolve().parent.parent / "configs"
+
+
+def test_load_opencv_yaml_matrix():
+    doc = load_opencv_yaml(CONFIGS / "camera.yml")
+    K = doc["K0"]
+    assert isinstance(K, np.ndarray)
+    assert K.shape == (3, 3)
+    assert K[0, 0] == pytest.approx(984.2439)
+    D = doc["D0"]
+    assert D.shape == (5, 1)
+    assert doc["ImageSize"] == [1392, 512]
+
+
+def test_detector_config_from_yaml():
+    cfg = DetectorConfig.from_yaml(CONFIGS / "feature_detector.yml")
+    assert cfg.intensity_threshold == 20
+    assert cfg.contiguous_pixels_threshold == 12
+    assert cfg.non_max_suppression is True
+    assert cfg.suppression_window_size == 12
+    assert cfg.patch_size == 31
+    assert cfg.num_brief_pairs == 256
+    assert cfg.descriptor_bytes == 32
+
+
+def test_detector_validation():
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        DetectorConfig(intensity_threshold=300)
+    with pytest.raises(ValueError, match=r"\[0, 16\]"):
+        DetectorConfig(contiguous_pixels_threshold=17)
+    with pytest.raises(ValueError, match="odd"):
+        DetectorConfig(patch_size=30)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        DetectorConfig(num_brief_pairs=100)
+    with pytest.raises(ValueError, match="Suppression window"):
+        DetectorConfig(suppression_window_size=0)
+
+
+def test_matcher_config_from_yaml():
+    cfg = MatcherConfig.from_yaml(CONFIGS / "feature_matcher.yml")
+    assert cfg.distance_type == "HAMMING"
+    assert cfg.filter_matches is True
+    assert cfg.good_matches_count == 20
+    assert cfg.use_ratio_test is True
+    assert cfg.ratio_test_threshold == pytest.approx(0.5)
+
+
+def test_matcher_validation():
+    with pytest.raises(ValueError, match="Invalid distance type"):
+        MatcherConfig(distance_type="COSINE")
+    with pytest.raises(ValueError, match="GoodMatchesCount"):
+        MatcherConfig(filter_matches=True, good_matches_count=0)
+    with pytest.raises(ValueError, match="RatioTestThreshold"):
+        MatcherConfig(ratio_test_threshold=1.5)
+
+
+def test_loop_closure_config_from_yaml():
+    cfg = LoopClosureConfig.from_yaml(CONFIGS / "loop_closure.yml")
+    assert cfg.min_db_size == 2
+    assert cfg.min_frames_difference == 2
+    assert cfg.min_absolute_score == pytest.approx(0.005)
+    assert cfg.relative_score_factor == pytest.approx(1.5)
+    assert cfg.min_matches_for_pnp == 20
+    assert cfg.min_inliers_for_pnp == 5
+
+
+def test_loop_closure_validation():
+    with pytest.raises(ValueError, match="MinDbSize"):
+        LoopClosureConfig(min_db_size=-1)
+    with pytest.raises(ValueError, match="MinFramesDifference"):
+        LoopClosureConfig(min_frames_difference=0)
+    with pytest.raises(ValueError, match="MinInliersForPnP.*greater than 3"):
+        LoopClosureConfig(min_inliers_for_pnp=3)
+    with pytest.raises(ValueError, match="cannot be greater than"):
+        LoopClosureConfig(min_inliers_for_pnp=30, min_matches_for_pnp=20)
+
+
+def test_slam_config_from_dir():
+    cfg = SlamConfig.from_yaml_dir(CONFIGS)
+    assert cfg.detector.intensity_threshold == 20
+    assert cfg.matcher.good_matches_count == 20
+    assert cfg.loop_closure.ransac_max_iterations == 100
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        load_opencv_yaml(CONFIGS / "does_not_exist.yml")

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""tpuslam CLI — run monocular VO/SLAM over an image directory or video.
+
+Same surface as the reference CLI (``tools/cli/cli.cpp:10-38``):
+``-c <config> -v <stream> [-h]``, extended with an output path and frame
+controls.  Unlike the reference (whose ``SLAMModel::run()`` was never
+implemented), this actually runs the pipeline and writes a KITTI-format
+trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpuslam",
+        description="TPU-native monocular visual SLAM",
+    )
+    parser.add_argument("-c", "--config", required=True,
+                        help="config directory holding camera.yml, feature_detector.yml, ...")
+    parser.add_argument("-v", "--stream", required=True,
+                        help="image directory (with timestamps.txt) or video file")
+    parser.add_argument("-o", "--output", default="trajectory.txt",
+                        help="output trajectory path (KITTI 12-value rows)")
+    parser.add_argument("--camera-index", type=int, default=0)
+    parser.add_argument("--frame-skip", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--max-frames", type=int, default=0,
+                        help="stop after this many frames (0 = all)")
+    parser.add_argument("--stats", action="store_true",
+                        help="print per-run stats as JSON")
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format="[%(asctime)s] [%(levelname)s] %(message)s",
+    )
+    log = logging.getLogger("tpuslam")
+
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.model.slam import SlamPipeline
+    from tpuslam.post.trajectory import save_kitti_trajectory
+    from tpuslam.pre.stream import FrameStream
+
+    cfg_dir = Path(args.config)
+    camera = Camera.from_yaml(cfg_dir / "camera.yml", camera_index=args.camera_index)
+    config = SlamConfig.from_yaml_dir(
+        cfg_dir, frame_skip=args.frame_skip, batch_size=args.batch_size
+    )
+    pipeline = SlamPipeline(camera, config)
+    stream = FrameStream(args.stream, frame_skip=args.frame_skip)
+    log.info("Stream %s: %d frames", args.stream, stream.total_frames)
+
+    t0 = time.time()
+    batches = stream.batches(args.batch_size)
+    if args.max_frames:
+        def limited(it, limit=args.max_frames):
+            seen = 0
+            for frames, ts, valid in it:
+                yield frames, ts, valid
+                seen += int(valid.sum())
+                if seen >= limit:
+                    break
+        batches = limited(batches)
+    result = pipeline.run(batches)
+    dt = time.time() - t0
+    n = len(result["poses"])
+    log.info("Processed %d frames in %.2fs (%.1f FPS incl. compile)", n, dt, n / dt)
+
+    save_kitti_trajectory(result["poses"], args.output)
+    log.info("Trajectory written to %s", args.output)
+
+    if args.stats:
+        print(json.dumps({
+            "frames": n,
+            "seconds": dt,
+            "fps": n / dt,
+            "pose_ok": int(result["pose_ok"].sum()),
+            "mean_matches": float(result["num_matches"].mean()),
+            "mean_inliers": float(result["num_inliers"].mean()),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

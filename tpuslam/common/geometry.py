@@ -1,0 +1,240 @@
+"""Batched projective geometry primitives.
+
+The reference triangulates one point at a time with a 4×4 SVD
+(``common.hpp:201-221``) and solves PnP/essential decompositions with
+per-instance Jacobi SVDs.  Small SVDs are hostile to the TPU's MXU, so every
+solver here is reformulated as a *batched symmetric eigenproblem*: the
+smallest right singular vector of ``A`` equals the eigenvector of ``AᵀA``
+for its smallest eigenvalue, and ``jnp.linalg.eigh`` batches over thousands
+of instances in one compiled kernel.
+
+Rows of each DLT system are L2-normalised first — the nullspace is
+unchanged, but squaring the condition number (AᵀA) then stays safe in
+float32, which is what the TPU runs (the reference uses float64 CPU SVDs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def nullvec_jacobi(A: jax.Array, sweeps: int = 8) -> jax.Array:
+    """Right singular vector of the smallest singular value, batched.
+
+    One-sided Jacobi SVD on ``A`` (..., m, n): orthogonalises column pairs
+    with Givens rotations accumulated into V.  Works directly on A — unlike
+    eigh(AᵀA) it never squares the condition number, so it stays accurate in
+    float32 (the TPU's native precision) where the reference leans on
+    float64 LAPACK SVDs (``common.hpp:214``, ``simple_pose_recover.cpp:29``).
+
+    The loop structure is static (unrolled at trace time): n(n-1)/2 rotations
+    per sweep, each a handful of batched vector ops — ideal for ``vmap`` over
+    thousands of small DLT systems.
+    """
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (*A.shape[:-2], n, n))
+    eps = jnp.asarray(1e-30, dtype=A.dtype)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                cp = A[..., :, p]
+                cq = A[..., :, q]
+                app = jnp.sum(cp * cp, axis=-1)
+                aqq = jnp.sum(cq * cq, axis=-1)
+                apq = jnp.sum(cp * cq, axis=-1)
+                # Jacobi rotation zeroing the (p, q) off-diagonal of AᵀA.
+                tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < eps, eps, apq))
+                sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(A.dtype)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(jnp.abs(apq) < eps * (app + aqq + eps), 0.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                cN, sN = c[..., None], s[..., None]
+                new_p = cN * cp - sN * cq
+                new_q = sN * cp + cN * cq
+                A = A.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
+                vp = V[..., :, p]
+                vq = V[..., :, q]
+                V = (
+                    V.at[..., :, p].set(cN * vp - sN * vq)
+                    .at[..., :, q].set(sN * vp + cN * vq)
+                )
+    norms = jnp.linalg.norm(A, axis=-2)  # (..., n) singular values
+    idx = jnp.argmin(norms, axis=-1)
+    return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
+
+
+def smallest_eigvec(ata: jax.Array) -> jax.Array:
+    """Eigenvector for the smallest eigenvalue of a batched symmetric matrix.
+
+    ``ata``: (..., n, n) symmetric.  Returns (..., n), unit norm.
+    ``eigh`` returns eigenvalues in ascending order, so column 0 is it.
+    """
+    _, vecs = jnp.linalg.eigh(ata)
+    return vecs[..., :, 0]
+
+
+def _normalize_rows(a: jax.Array, eps: float = 1e-12) -> jax.Array:
+    norm = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    return a / jnp.maximum(norm, eps)
+
+
+def triangulate_homogeneous(
+    P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array
+) -> jax.Array:
+    """Batched two-view DLT triangulation → homogeneous 4-vectors.
+
+    ``P1``/``P2``: (3, 4) projection matrices (shared across points) or
+    (..., 3, 4) batched.  ``pts1``/``pts2``: (..., N, 2) image points.
+    Returns (..., N, 4) homogeneous points (unit norm, sign unnormalised).
+
+    Equivalent of the reference's per-point SVD loop ``common.hpp:201-221``,
+    restructured as one batched eigh over AᵀA.
+    """
+    x1 = pts1[..., 0:1]  # (..., N, 1)
+    y1 = pts1[..., 1:2]
+    x2 = pts2[..., 0:1]
+    y2 = pts2[..., 1:2]
+
+    def rows(P, x, y):
+        # P: (..., 3, 4) → broadcast rows against (..., N, 1) coords
+        p0 = P[..., None, 0, :]  # (..., 1, 4)
+        p1 = P[..., None, 1, :]
+        p2 = P[..., None, 2, :]
+        return x * p2 - p0, y * p2 - p1  # each (..., N, 4)
+
+    r0, r1 = rows(P1, x1, y1)
+    r2, r3 = rows(P2, x2, y2)
+    A = jnp.stack([r0, r1, r2, r3], axis=-2)  # (..., N, 4, 4)
+    A = _normalize_rows(A)
+    # Column equilibration keeps the Jacobi rotations balanced; the nullspace
+    # direction is recovered by unscaling (v = S v').
+    col_norm = jnp.maximum(jnp.linalg.norm(A, axis=-2, keepdims=True), 1e-12)
+    v = nullvec_jacobi(A / col_norm)
+    v = v / col_norm[..., 0, :]
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def dehomogenize(points_h: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """(..., 4) homogeneous → (..., 3) Euclidean (guarding w≈0)."""
+    w = points_h[..., 3:4]
+    w_safe = jnp.where(jnp.abs(w) < eps, jnp.where(w < 0, -eps, eps), w)
+    return points_h[..., :3] / w_safe
+
+
+def triangulate_points(
+    P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array
+) -> jax.Array:
+    """Batched DLT triangulation → (..., N, 3) Euclidean points."""
+    return dehomogenize(triangulate_homogeneous(P1, P2, pts1, pts2))
+
+
+def project(K: jax.Array, R: jax.Array, t: jax.Array, points3d: jax.Array) -> jax.Array:
+    """Project (..., N, 3) world points: returns (..., N, 2) pixels and depth.
+
+    ``x = K (R X + t)``; returns (uv, z) with uv = x[:2]/x[2].
+    """
+    cam = points3d @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    pix = cam @ jnp.swapaxes(K, -1, -2)
+    z = pix[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    return pix[..., :2] / z_safe, cam[..., 2]
+
+
+def normalize_points(K: jax.Array, pts: jax.Array) -> jax.Array:
+    """Pixel → normalised camera coordinates: (u-cx)/fx, (v-cy)/fy.
+
+    Mirrors reference ``pose_estimator.cpp:53-64``.
+    """
+    fx = K[..., 0, 0]
+    fy = K[..., 1, 1]
+    cx = K[..., 0, 2]
+    cy = K[..., 1, 2]
+    x = (pts[..., 0] - cx[..., None]) / fx[..., None]
+    y = (pts[..., 1] - cy[..., None]) / fy[..., None]
+    return jnp.stack([x, y], axis=-1)
+
+
+def hat(v: jax.Array) -> jax.Array:
+    """Skew-symmetric matrix of (..., 3) vectors."""
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def closest_rotation(M: jax.Array) -> jax.Array:
+    """Project (..., 3, 3) matrices onto SO(3) (Procrustes, det +1).
+
+    Used by PnP to orthogonalise the DLT rotation block
+    (reference ``loop_closure.cpp:262-270``).
+    """
+    u, _, vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.ones_like(det)
+    corr = jnp.stack([d, d, det], axis=-1)
+    return (u * corr[..., None, :]) @ vt
+
+
+def orthonormalize_rotation(R: jax.Array, iters: int = 3) -> jax.Array:
+    """Newton iteration for the orthogonal polar factor: R ← R(3I − RᵀR)/2.
+
+    Quadratically convergent for matrices near SO(3); pure matmuls, so it
+    fixes the float32 drift of TPU small-SVD pipelines without another SVD.
+    """
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(iters):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
+def so3_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues exponential map (..., 3) → (..., 3, 3) rotation matrices."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    axis = w / theta
+    th = theta[..., None]
+    K = hat(axis)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Log map (..., 3, 3) → (..., 3) rotation vectors (principal branch)."""
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(
+        jnp.abs(sin_theta) < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_theta + 1e-30)
+    )
+    return w * scale[..., None]
+
+
+def compose_se3(R1, t1, R2, t2):
+    """(R1,t1)∘(R2,t2): apply 2 then 1."""
+    return R1 @ R2, (R1 @ t2[..., None])[..., 0] + t1
+
+
+def pose_matrix(R: jax.Array, t: jax.Array) -> jax.Array:
+    """Stack (..., 3, 3) + (..., 3) into (..., 4, 4) homogeneous transforms."""
+    batch = R.shape[:-2]
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), (*batch, 1, 4)
+    )
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)

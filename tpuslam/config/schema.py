@@ -1,0 +1,250 @@
+"""Typed configuration schema with reference-compatible validation.
+
+Each dataclass mirrors one of the reference's per-component OpenCV-YAML config
+files, keeping the same key names and the same eager validation rules so that
+reference config files load unchanged:
+
+  * detector keys/validation  — reference ``feature_detector.hpp:53-107``
+  * matcher keys/validation   — reference ``feature_matcher.cpp:18-59``
+  * loop-closure keys/rules   — reference ``loop_closure.cpp:30-94``
+
+On top of the reference keys, each config carries TPU-specific *capacity*
+fields (fixed-shape buffer sizes).  They have defaults and may be overridden
+by extra YAML keys the reference would simply ignore.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from tpuslam.config.yaml_io import load_opencv_yaml
+
+
+def _get(doc: dict[str, Any], key: str, default: Any = None) -> Any:
+    return doc.get(key, default)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """FAST + steered-BRIEF detector configuration.
+
+    Reference keys: ``IntensityThreshold``, ``ContiguousPixelsThreshold``,
+    ``NonMaxSuppression``, ``SuppressionWindowSize``, ``PatchSize``,
+    ``NumBRIEFPairs`` (reference ``test/data/feature_detector.yml``).
+    """
+
+    intensity_threshold: int = 20
+    contiguous_pixels_threshold: int = 12
+    non_max_suppression: bool = True
+    suppression_window_size: int = 12
+    patch_size: int = 31
+    num_brief_pairs: int = 256
+    # TPU capacity fields (not in the reference — fixed-shape buffer sizes).
+    max_keypoints: int = 1024
+    brief_seed: int = 42
+
+    def __post_init__(self) -> None:
+        if not 0 <= self.intensity_threshold <= 255:
+            raise ValueError("Intensity threshold must be in the range [0, 255].")
+        if not 0 <= self.contiguous_pixels_threshold <= 16:
+            raise ValueError("Contiguous pixels threshold must be in the range [0, 16].")
+        if self.suppression_window_size <= 0:
+            raise ValueError("Suppression window size must be a positive integer.")
+        if self.patch_size <= 0 or self.patch_size % 2 == 0:
+            raise ValueError("Patch size must be a positive odd integer.")
+        if self.num_brief_pairs <= 0 or self.num_brief_pairs % 8 != 0:
+            raise ValueError("Number of BRIEF pairs must be a positive multiple of 8.")
+        if self.max_keypoints <= 0:
+            raise ValueError("MaxKeypoints must be a positive integer.")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "DetectorConfig":
+        doc = load_opencv_yaml(path)
+        nms = _get(doc, "NonMaxSuppression", 1)
+        if nms not in (0, 1):
+            raise ValueError("Non-max suppression must be either 0 (false) or 1 (true).")
+        return cls(
+            intensity_threshold=int(_get(doc, "IntensityThreshold", 20)),
+            contiguous_pixels_threshold=int(_get(doc, "ContiguousPixelsThreshold", 12)),
+            non_max_suppression=bool(nms),
+            suppression_window_size=int(_get(doc, "SuppressionWindowSize", 12)),
+            patch_size=int(_get(doc, "PatchSize", 31)),
+            num_brief_pairs=int(_get(doc, "NumBRIEFPairs", 256)),
+            max_keypoints=int(_get(doc, "MaxKeypoints", 1024)),
+            brief_seed=int(_get(doc, "BriefSeed", 42)),
+        )
+
+    @property
+    def descriptor_bytes(self) -> int:
+        return self.num_brief_pairs // 8
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force matcher configuration.
+
+    Reference keys: ``DistanceType``, ``FilterMatches``, ``GoodMatchesCount``,
+    ``UseRatioTest``, ``RatioTestThreshold``
+    (reference ``test/data/feature_matcher.yml``).
+    """
+
+    distance_type: str = "HAMMING"
+    filter_matches: bool = True
+    good_matches_count: int = 20
+    use_ratio_test: bool = True
+    ratio_test_threshold: float = 0.5
+    # Spatial-jump penalty radius; a named constant in the reference
+    # (``feature_matcher.hpp:12`` MAX_JUMP_RADIUS = 500).
+    max_jump_radius: float = 500.0
+
+    def __post_init__(self) -> None:
+        if self.distance_type not in ("HAMMING", "L2"):
+            raise ValueError("Invalid distance type. Must be 'HAMMING' or 'L2'.")
+        if self.filter_matches and self.good_matches_count <= 0:
+            raise ValueError("GoodMatchesCount must be positive when filtering is enabled.")
+        if not 0.0 <= self.ratio_test_threshold <= 1.0:
+            raise ValueError("RatioTestThreshold must be in the range [0, 1].")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "MatcherConfig":
+        doc = load_opencv_yaml(path)
+        fm = _get(doc, "FilterMatches", 0)
+        if fm not in (0, 1):
+            raise ValueError("FilterMatches must be either 0 (false) or 1 (true).")
+        rt = _get(doc, "UseRatioTest", 0)
+        if rt not in (0, 1):
+            raise ValueError("UseRatioTest must be either 0 (false) or 1 (true).")
+        return cls(
+            distance_type=str(_get(doc, "DistanceType", "HAMMING")),
+            filter_matches=bool(fm),
+            good_matches_count=int(_get(doc, "GoodMatchesCount", 0)),
+            use_ratio_test=bool(rt),
+            ratio_test_threshold=float(_get(doc, "RatioTestThreshold", 0.0)),
+            max_jump_radius=float(_get(doc, "MaxJumpRadius", 500.0)),
+        )
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop-closure configuration.
+
+    Reference keys and validation: ``loop_closure.cpp:30-94``.
+    """
+
+    min_db_size: int = 2
+    min_frames_difference: int = 2
+    min_absolute_score: float = 0.005
+    relative_score_factor: float = 1.5
+    min_matches_for_pnp: int = 20
+    min_inliers_for_pnp: int = 5
+    ransac_max_iterations: int = 100
+    ransac_reprojection_threshold: float = 2.0
+    # TPU capacity fields.
+    max_keyframes: int = 512
+
+    def __post_init__(self) -> None:
+        if self.min_db_size < 0:
+            raise ValueError("'MinDbSize' must be a non-negative integer.")
+        if self.min_frames_difference <= 0:
+            raise ValueError("'MinFramesDifference' must be a positive integer.")
+        if self.min_absolute_score < 0.0:
+            raise ValueError("'MinAbsoluteScore' must be non-negative.")
+        if self.relative_score_factor < 0.0:
+            raise ValueError("'RelativeScoreFactor' must be non-negative.")
+        if self.min_matches_for_pnp <= 3:
+            raise ValueError("'MinMatchesForPnP' must be greater than 3 for PnP.")
+        if self.min_inliers_for_pnp <= 3:
+            raise ValueError("'MinInliersForPnP' must be greater than 3 for PnP.")
+        if self.min_inliers_for_pnp > self.min_matches_for_pnp:
+            raise ValueError("'MinInliersForPnP' cannot be greater than 'MinMatchesForPnP'.")
+        if self.ransac_max_iterations <= 0:
+            raise ValueError("'RansacMaxIterations' must be a positive integer.")
+        if self.ransac_reprojection_threshold <= 0.0:
+            raise ValueError("'RansacReprojectionThreshold' must be a positive value.")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "LoopClosureConfig":
+        doc = load_opencv_yaml(path)
+        return cls(
+            min_db_size=int(_get(doc, "MinDbSize", 0)),
+            min_frames_difference=int(_get(doc, "MinFramesDifference", 1)),
+            min_absolute_score=float(_get(doc, "MinAbsoluteScore", 0.0)),
+            relative_score_factor=float(_get(doc, "RelativeScoreFactor", 0.0)),
+            min_matches_for_pnp=int(_get(doc, "MinMatchesForPnP", 20)),
+            min_inliers_for_pnp=int(_get(doc, "MinInliersForPnP", 5)),
+            ransac_max_iterations=int(_get(doc, "RansacMaxIterations", 100)),
+            ransac_reprojection_threshold=float(
+                _get(doc, "RansacReprojectionThreshold", 2.0)
+            ),
+            max_keyframes=int(_get(doc, "MaxKeyframes", 512)),
+        )
+
+
+@dataclass(frozen=True)
+class PoseConfig:
+    """Two-view pose estimation (batched essential-matrix RANSAC).
+
+    The reference delegates to ``cv::findEssentialMat(..., cv::RANSAC)``
+    (``pose_estimator.cpp:42``) with OpenCV defaults (1.0 px threshold,
+    0.999 confidence).  The TPU version scores a fixed batch of hypotheses in
+    one shot instead of iterating adaptively.
+    """
+
+    num_hypotheses: int = 2048
+    sample_size: int = 8
+    inlier_threshold_px: float = 1.0
+    min_matches: int = 8  # reference pose_estimator.cpp:22-26
+    seed: int = 0
+
+    def __post_init__(self) -> None:
+        if self.num_hypotheses <= 0:
+            raise ValueError("'NumHypotheses' must be a positive integer.")
+        if self.sample_size < 8:
+            raise ValueError("'SampleSize' must be at least 8 for the 8-point algorithm.")
+        if self.inlier_threshold_px <= 0.0:
+            raise ValueError("'InlierThresholdPx' must be positive.")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "PoseConfig":
+        doc = load_opencv_yaml(path)
+        return cls(
+            num_hypotheses=int(_get(doc, "NumHypotheses", 2048)),
+            sample_size=int(_get(doc, "SampleSize", 8)),
+            inlier_threshold_px=float(_get(doc, "InlierThresholdPx", 1.0)),
+            min_matches=int(_get(doc, "MinMatches", 8)),
+            seed=int(_get(doc, "Seed", 0)),
+        )
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level pipeline configuration bundling all component configs."""
+
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    pose: PoseConfig = field(default_factory=PoseConfig)
+    frame_skip: int = 0
+    batch_size: int = 16
+    max_map_points: int = 8192
+
+    @classmethod
+    def from_yaml_dir(cls, config_dir: str | Path, **overrides: Any) -> "SlamConfig":
+        """Load from a directory of reference-style per-component YAML files."""
+        config_dir = Path(config_dir)
+
+        def maybe(name: str, loader, default):
+            p = config_dir / name
+            return loader(p) if p.is_file() else default
+
+        return cls(
+            detector=maybe("feature_detector.yml", DetectorConfig.from_yaml, DetectorConfig()),
+            matcher=maybe("feature_matcher.yml", MatcherConfig.from_yaml, MatcherConfig()),
+            loop_closure=maybe(
+                "loop_closure.yml", LoopClosureConfig.from_yaml, LoopClosureConfig()
+            ),
+            pose=maybe("pose_estimator.yml", PoseConfig.from_yaml, PoseConfig()),
+            **overrides,
+        )

@@ -1,0 +1,60 @@
+"""Device-mesh utilities: multi-sequence SLAM sharding.
+
+The reference has no distributed execution of any kind (SURVEY §2: no
+MPI/NCCL/threads in implemented code).  The TPU-native scaling model
+(BASELINE config 5) is *sequence parallelism over a mesh*: S independent
+video sequences are vmapped into one program and sharded across a
+``jax.sharding.Mesh`` axis; per-sequence SLAM state is fully local so XLA
+inserts no collectives on the hot path — cross-device traffic happens only
+when results are gathered to the host.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_device_mesh(n_devices: int | None = None, axis_name: str = "seq") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} available."
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sequence_sharding(mesh: Mesh, axis_name: str = "seq") -> NamedSharding:
+    """Shard the leading (sequence) axis across the mesh; replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batched_pipeline(pipeline, mesh: Mesh, axis_name: str = "seq"):
+    """Build a jitted multi-sequence chunk step sharded over ``mesh``.
+
+    Returns ``step(frames (S, B, H, W) u8, valid (S, B), states (S-stacked
+    VoState), keys (S, 2)) → (results, new states)`` where every argument and
+    result is sharded on its leading sequence axis.  S must be a multiple of
+    the mesh size.
+    """
+    seq_sharding = sequence_sharding(mesh, axis_name)
+
+    def spec_like(tree: Any):
+        return jax.tree.map(lambda _: seq_sharding, tree)
+
+    vmapped = jax.vmap(pipeline._process_chunk)
+
+    def step(frames, valid, states, keys):
+        frames = jax.lax.with_sharding_constraint(frames, seq_sharding)
+        return vmapped(frames, valid, states, keys)
+
+    return jax.jit(
+        step,
+        in_shardings=(seq_sharding, seq_sharding, spec_like(pipeline.initial_state()),
+                      seq_sharding),
+    )

@@ -1,0 +1,94 @@
+"""FeatureDetector facade: FAST detect + steered-BRIEF compute.
+
+The TPU analog of the reference's ``FeatureDetector`` class
+(``include/slam/frontend/feature_detector.hpp:48-135``): construction loads
+and validates the YAML config and fixes the BRIEF pattern once; ``detect``,
+``compute`` and ``detect_and_compute`` are jitted, batchable pure functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.config.schema import DetectorConfig
+from tpuslam.frontend.brief import (
+    BriefPattern,
+    compute_brief_descriptors,
+    compute_orientations,
+    gaussian_blur_u8,
+    gaussian_kernel,
+    generate_brief_pattern,
+)
+from tpuslam.frontend.fast import KeypointSet, detect_keypoints
+
+
+class FeatureDetector:
+    """Stateless-after-init detector; all methods are jit-compiled."""
+
+    def __init__(self, config: DetectorConfig | str | Path):
+        if not isinstance(config, DetectorConfig):
+            config = DetectorConfig.from_yaml(config)
+        self.config = config
+        self.pattern: BriefPattern = generate_brief_pattern(
+            config.num_brief_pairs, config.patch_size, seed=config.brief_seed
+        )
+        self.blur_kernel = jnp.asarray(gaussian_kernel())
+
+    # --- detect ---------------------------------------------------------------
+    def detect(self, image: jax.Array) -> KeypointSet:
+        """FAST + NMS on one (H, W) uint8 image → fixed-capacity KeypointSet."""
+        c = self.config
+        return detect_keypoints(
+            image,
+            threshold=c.intensity_threshold,
+            contiguous=c.contiguous_pixels_threshold,
+            nms=c.non_max_suppression,
+            window=c.suppression_window_size,
+            max_keypoints=c.max_keypoints,
+        )
+
+    # --- compute --------------------------------------------------------------
+    def compute(self, image: jax.Array, kps: KeypointSet) -> tuple[KeypointSet, jax.Array]:
+        """Blur + orientation + BRIEF. Returns (keypoints-with-angles, descriptors).
+
+        Descriptors: (K, num_brief_pairs/8) uint8; rows for invalid keypoints
+        are all-zero.
+        """
+        return _compute_impl(
+            image,
+            kps,
+            self.blur_kernel,
+            self.pattern,
+            self.config.num_brief_pairs,
+            self.config.patch_size,
+        )
+
+    def detect_and_compute(self, image: jax.Array) -> tuple[KeypointSet, jax.Array]:
+        kps = self.detect(image)
+        return self.compute(image, kps)
+
+    # --- batched --------------------------------------------------------------
+    def detect_and_compute_batch(self, images: jax.Array) -> tuple[KeypointSet, jax.Array]:
+        """vmap detect+compute over a (B, H, W) batch of frames."""
+        return jax.vmap(self.detect_and_compute)(images)
+
+
+@partial(jax.jit, static_argnames=("num_pairs", "patch_size"))
+def _compute_impl(
+    image: jax.Array,
+    kps: KeypointSet,
+    blur_kernel: jax.Array,
+    pattern: BriefPattern,
+    num_pairs: int,
+    patch_size: int,
+) -> tuple[KeypointSet, jax.Array]:
+    blurred = gaussian_blur_u8(image, blur_kernel)
+    angles = compute_orientations(blurred, kps, patch_size)
+    descriptors = compute_brief_descriptors(
+        blurred, kps, angles, pattern, num_pairs, patch_size
+    )
+    return kps._replace(angle=angles), descriptors

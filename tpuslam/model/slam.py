@@ -1,0 +1,226 @@
+"""SlamPipeline: the end-to-end monocular VO/SLAM orchestrator.
+
+The reference declares this layer but never implements it: ``SLAMModel``
+has an empty constructor and an undefined ``run()``
+(``src/model/model.cpp:5-7``, ``include/slam/model/model.hpp:15-28``); its
+intended composition — Camera → Preprocessor → FeatureDetector →
+FeatureMatcher → PoseEstimator → Map → Backend → Visualizer — survives only
+as commented-out members (``model.hpp:20-27``) and as the de-facto pipeline
+in ``test/frontend/test_pose_estimator.cpp:108-212``.  This module invents
+the orchestration loop the TPU way.
+
+TPU-first structure (SURVEY §7 step 5):
+
+  * the *frame-parallel* work (undistort, detect, describe, match
+    consecutive pairs, two-view RANSAC) is ``vmap``-ed over a chunk of B
+    frames — a single jitted program per chunk, keeping the MXU busy;
+  * the only inherently *sequential* part — chaining relative poses into a
+    global trajectory — is an ``associative_scan`` over 4×4 matmuls
+    (O(log B) depth instead of O(B));
+  * a failed pose (too few matches / degenerate geometry) contributes an
+    identity relative transform, mirroring the reference's silent-return
+    gates (``pose_estimator.cpp:22-26,44-47``) as masked no-ops so
+    fixed-shape execution never breaks;
+  * state carried between chunks: last frame's features + last global pose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.common.camera import Camera
+from tpuslam.config.schema import SlamConfig
+from tpuslam.frontend.detector import FeatureDetector
+from tpuslam.frontend.fast import KeypointSet
+from tpuslam.frontend.matcher import match_descriptors
+from tpuslam.frontend.pose import estimate_relative_pose
+
+
+class VoState(NamedTuple):
+    """Cross-chunk carry: previous frame's features and global pose."""
+
+    prev_kps: KeypointSet
+    prev_desc: jax.Array  # (K, B) uint8
+    prev_exists: jax.Array  # () bool — false before the first frame
+    pose: jax.Array  # (4, 4) float32 — T_world_cam of the last frame
+    frame_idx: jax.Array  # () int32
+
+
+class ChunkResult(NamedTuple):
+    poses: jax.Array  # (B, 4, 4) — T_world_cam per frame in the chunk
+    num_matches: jax.Array  # (B,) int32
+    num_inliers: jax.Array  # (B,) int32
+    pose_ok: jax.Array  # (B,) bool
+
+
+def _invert_rt(R: jax.Array, t: jax.Array) -> jax.Array:
+    """[R|t] (cam2 ← cam1 coords) → 4×4 T_cam1_cam2."""
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, (-(Rt @ t[..., :, None]))], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), (*R.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+@dataclass
+class SlamPipeline:
+    """Batched monocular visual-odometry pipeline."""
+
+    camera: Camera
+    config: SlamConfig
+
+    def __post_init__(self) -> None:
+        self.detector = FeatureDetector(self.config.detector)
+        self._K = jnp.asarray(self.camera.K, dtype=jnp.float32)
+        flat_idx, valid = self.camera.device_undistort_map()
+        self._undistort_idx = flat_idx
+        self._undistort_valid = valid
+        self._chunk_fn = jax.jit(self._process_chunk)
+
+    # --- state ----------------------------------------------------------------
+    def initial_state(self) -> VoState:
+        k = self.config.detector.max_keypoints
+        d = self.config.detector.descriptor_bytes
+        empty_kps = KeypointSet(
+            xy=jnp.zeros((k, 2), jnp.float32),
+            response=jnp.zeros((k,), jnp.float32),
+            angle=jnp.zeros((k,), jnp.float32),
+            valid=jnp.zeros((k,), bool),
+        )
+        return VoState(
+            prev_kps=empty_kps,
+            prev_desc=jnp.zeros((k, d), jnp.uint8),
+            prev_exists=jnp.asarray(False),
+            pose=jnp.eye(4, dtype=jnp.float32),
+            frame_idx=jnp.asarray(0, jnp.int32),
+        )
+
+    # --- the jitted chunk program ----------------------------------------------
+    def _frontend(self, frame: jax.Array) -> tuple[KeypointSet, jax.Array]:
+        from tpuslam.common.camera import undistort_image
+
+        und = undistort_image(
+            frame, self._undistort_idx, self._undistort_valid, normalize=False
+        )
+        return self.detector.detect_and_compute(und)
+
+    def _process_chunk(
+        self, frames: jax.Array, frame_valid: jax.Array, state: VoState, key: jax.Array
+    ) -> tuple[ChunkResult, VoState]:
+        B = frames.shape[0]
+        mcfg = self.config.matcher
+        pcfg = self.config.pose
+
+        # 1) frame-parallel frontend
+        kps, desc = jax.vmap(self._frontend)(frames)  # (B, K, ...), (B, K, D)
+
+        # 2) consecutive pairs: (prev, f0), (f0, f1), ... (f_{B-2}, f_{B-1})
+        kps_q = jax.tree.map(
+            lambda prev, cur: jnp.concatenate([prev[None], cur[:-1]], axis=0),
+            state.prev_kps,
+            kps,
+        )
+        desc_q = jnp.concatenate([state.prev_desc[None], desc[:-1]], axis=0)
+        # pair i is scorable iff both endpoints are real frames
+        pair_ok = jnp.concatenate(
+            [state.prev_exists[None], frame_valid[:-1]], axis=0
+        ) & frame_valid
+
+        # 3) frame-parallel matching (unfiltered: RANSAC wants all candidates)
+        match = jax.vmap(
+            lambda d1, d2, k1, k2: match_descriptors(
+                d1,
+                d2,
+                k1.valid,
+                k2.valid,
+                k1.xy,
+                k2.xy,
+                ratio_threshold=mcfg.ratio_test_threshold,
+                max_jump_radius=mcfg.max_jump_radius,
+                use_ratio_test=mcfg.use_ratio_test,
+                filter_matches=False,
+                use_spatial_penalty=True,
+            )
+        )(desc_q, desc, kps_q, kps)
+
+        # 4) gather matched pixel coordinates per pair
+        def gather_pts(kq, kt, m):
+            q = jnp.maximum(m.query_idx, 0)
+            t = jnp.maximum(m.train_idx, 0)
+            return kq.xy[q], kt.xy[t]
+
+        pts1, pts2 = jax.vmap(gather_pts)(kps_q, kps, match)
+        mvalid = match.valid & pair_ok[:, None]
+
+        # 5) frame-parallel two-view RANSAC
+        keys = jax.random.split(key, B)
+        pose_fn = partial(
+            estimate_relative_pose,
+            num_hypotheses=pcfg.num_hypotheses,
+            sample_size=pcfg.sample_size,
+            inlier_threshold_px=pcfg.inlier_threshold_px,
+            min_matches=pcfg.min_matches,
+        )
+        res = jax.vmap(lambda p1, p2, v, k: pose_fn(p1, p2, v, self._K, k))(
+            pts1, pts2, mvalid, keys
+        )
+
+        # 6) relative transforms; failures → identity (masked no-op gate)
+        T_rel = _invert_rt(res.R, res.t)  # (B, 4, 4) = T_prev_cur
+        T_rel = jnp.where(res.success[:, None, None], T_rel, jnp.eye(4, dtype=T_rel.dtype))
+
+        # 7) global poses via associative scan (O(log B) matmul chain)
+        T_cum = jax.lax.associative_scan(jnp.matmul, T_rel)  # prefix products
+        poses = state.pose[None] @ T_cum  # (B, 4, 4)
+
+        # 8) new carry: last *valid* frame's features; pose of last valid frame
+        n_real = jnp.sum(frame_valid.astype(jnp.int32))
+        last = jnp.maximum(n_real - 1, 0)
+        new_kps = jax.tree.map(lambda a: a[last], kps)
+        new_state = VoState(
+            prev_kps=new_kps,
+            prev_desc=desc[last],
+            prev_exists=state.prev_exists | (n_real > 0),
+            pose=poses[last],
+            frame_idx=state.frame_idx + n_real,
+        )
+        result = ChunkResult(
+            poses=poses,
+            num_matches=jnp.sum(mvalid.astype(jnp.int32), axis=-1),
+            num_inliers=res.num_inliers,
+            pose_ok=res.success,
+        )
+        return result, new_state
+
+    # --- host driver -----------------------------------------------------------
+    def run(
+        self,
+        frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
+        seed: int = 0,
+    ) -> dict:
+        """Consume ``FrameStream.batches()`` → trajectory + per-frame stats."""
+        state = self.initial_state()
+        key = jax.random.PRNGKey(seed)
+        poses: list[np.ndarray] = []
+        stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
+        for frames, _stamps, valid in frame_batches:
+            key, sub = jax.random.split(key)
+            result, state = self._chunk_fn(
+                jnp.asarray(frames), jnp.asarray(valid), state, sub
+            )
+            n = int(valid.sum())
+            poses.append(np.asarray(result.poses)[:n])
+            stats["num_matches"].append(np.asarray(result.num_matches)[:n])
+            stats["num_inliers"].append(np.asarray(result.num_inliers)[:n])
+            stats["pose_ok"].append(np.asarray(result.pose_ok)[:n])
+        return {
+            "poses": np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
+            **{k: np.concatenate(v) if v else np.zeros((0,)) for k, v in stats.items()},
+        }

@@ -1,0 +1,159 @@
+"""Host-side frame source: directory of images or a video file.
+
+The TPU analog of the reference ``Preprocessor``
+(``src/preprocessing/preprocessor.cpp``):
+
+  * directory mode: glob ``.png``/``.jpg``, lexical sort, parse
+    ``timestamps.txt`` lines of the form ``%Y-%m-%d %H:%M:%S.nanoseconds``
+    (``preprocessor.cpp:24-82``); the count must match the frame count;
+  * video mode: ``cv2.VideoCapture`` (``:84-93``);
+  * ``frame_skip`` advances ``1 + skip`` frames per yield (``:139``).
+
+TPU-first split: the reference's ``yield()`` does decode **and** per-frame
+undistortion on the host (rebuilding the distortion grid every frame,
+``common.hpp:143-157``).  Here the host only decodes and converts to
+grayscale uint8; undistortion is a precomputed gather executed on-device as
+part of the jitted pipeline (see ``tpuslam.common.camera``).  ``batches()``
+yields fixed-size frame chunks ready for device transfer, with a
+double-buffered prefetch thread so decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+
+def parse_timestamps(path: Path) -> list[float]:
+    """Parse ``timestamps.txt`` → seconds since epoch (float).
+
+    Format per line: ``YYYY-MM-DD HH:MM:SS.nanoseconds`` (reference
+    ``preprocessor.cpp:52-81``).  Malformed lines are skipped with a warning,
+    like the reference.
+    """
+    out: list[float] = []
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        dot = line.find(".")
+        if dot < 0:
+            continue
+        main, nanos = line[:dot], line[dot + 1 :]
+        try:
+            t = _dt.datetime.strptime(main, "%Y-%m-%d %H:%M:%S")
+            ns = int(nanos)
+        except ValueError:
+            continue
+        out.append(t.replace(tzinfo=_dt.timezone.utc).timestamp() + ns * 1e-9)
+    return out
+
+
+class FrameStream:
+    """Iterates grayscale uint8 frames from a directory or video file."""
+
+    def __init__(self, stream_path: str | Path, frame_skip: int = 0):
+        import cv2  # host-only dependency, imported lazily
+
+        self._cv2 = cv2
+        self.path = Path(stream_path)
+        self.frame_skip = frame_skip
+        self._files: list[Path] = []
+        self._timestamps: list[float] = []
+        self._vc = None
+
+        if self.path.is_dir():
+            self.is_directory = True
+            self._files = sorted(
+                p for p in self.path.iterdir()
+                if p.is_file() and p.suffix.lower() in (".png", ".jpg", ".jpeg")
+            )
+            self.total_frames = len(self._files)
+            ts_file = self.path / "timestamps.txt"
+            if ts_file.is_file():
+                self._timestamps = parse_timestamps(ts_file)
+                if len(self._timestamps) != self.total_frames:
+                    raise RuntimeError(
+                        "Number of timestamps does not match number of frames."
+                    )
+            else:
+                self._timestamps = [float(i) for i in range(self.total_frames)]
+        elif self.path.is_file():
+            self.is_directory = False
+            self._vc = cv2.VideoCapture(str(self.path))
+            if not self._vc.isOpened():
+                raise RuntimeError(f"Could not open video file: {self.path}")
+            self.total_frames = int(self._vc.get(cv2.CAP_PROP_FRAME_COUNT))
+        else:
+            raise RuntimeError(f"Unsupported stream type: {self.path}")
+
+    def read_frame(self, index: int) -> tuple[np.ndarray, float]:
+        """Decode frame ``index`` → (gray uint8 (H, W), timestamp seconds)."""
+        cv2 = self._cv2
+        if self.is_directory:
+            img = cv2.imread(str(self._files[index]), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise RuntimeError(f"Failed to read image from file: {self._files[index]}")
+            return np.asarray(img, dtype=np.uint8), self._timestamps[index]
+        self._vc.set(cv2.CAP_PROP_POS_FRAMES, index)
+        ok, frame = self._vc.read()
+        if not ok:
+            raise RuntimeError("Failed to read frame from video.")
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        ts = self._vc.get(cv2.CAP_PROP_POS_MSEC) / 1e3
+        return np.asarray(gray, dtype=np.uint8), ts
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, float]]:
+        i = 0
+        while i < self.total_frames:
+            yield self.read_frame(i)
+            i += 1 + self.frame_skip
+
+    def frame_indices(self) -> list[int]:
+        return list(range(0, self.total_frames, 1 + self.frame_skip))
+
+    def batches(
+        self, batch_size: int, prefetch: int = 2
+    ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield ``(frames (B, H, W) u8, timestamps (B,), valid (B,))`` chunks.
+
+        The final chunk is padded (repeating the last frame) with ``valid``
+        marking real entries, so device shapes stay static.  A background
+        thread prefetches/decodes ahead of the consumer.
+        """
+        indices = self.frame_indices()
+        if not indices:
+            return
+
+        def chunks() -> Iterator[list[int]]:
+            for s in range(0, len(indices), batch_size):
+                yield indices[s : s + batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        _SENTINEL = object()
+
+        def worker() -> None:
+            try:
+                for chunk in chunks():
+                    frames, stamps = zip(*(self.read_frame(i) for i in chunk))
+                    n = len(frames)
+                    if n < batch_size:
+                        frames = frames + (frames[-1],) * (batch_size - n)
+                        stamps = stamps + (stamps[-1],) * (batch_size - n)
+                    valid = np.arange(batch_size) < n
+                    q.put((np.stack(frames), np.asarray(stamps), valid))
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
