@@ -23,6 +23,10 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
+from tpuslam.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
 import numpy as np  # noqa: E402
 
 

@@ -1,0 +1,134 @@
+"""Map state + sliding-window bundle adjustment tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.backend.ba import bundle_adjust
+from tpuslam.backend.map import add_observations, empty_map, insert_keyframe, insert_points
+from tpuslam.common.geometry import so3_exp
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+RNG = np.random.default_rng(9)
+
+
+def build_synthetic_map(
+    n_frames=4, n_points=200, noise_px=0.5, pose_noise=0.02, point_noise=0.05,
+    window=8, capacity=512,
+):
+    """Ground-truth scene + perturbed initialisation stored in a MapState."""
+    X_gt = RNG.uniform([-4, -3, 6], [4, 3, 18], size=(n_points, 3))
+    Rs, ts = [], []
+    for i in range(n_frames):
+        w = RNG.normal(size=3) * 0.05
+        Rs.append(np.asarray(so3_exp(jnp.asarray(w))))
+        ts.append(np.array([0.8 * i, 0.0, 0.0]) + RNG.normal(size=3) * 0.05)
+    obs = np.zeros((n_frames, n_points, 2))
+    for i in range(n_frames):
+        cam = X_gt @ Rs[i].T + ts[i]
+        pix = cam @ K.T
+        obs[i] = pix[:, :2] / pix[:, 2:]
+    obs_noisy = obs + RNG.normal(size=obs.shape) * noise_px
+
+    m = empty_map(window=window, max_points=capacity)
+    slots = []
+    for i in range(n_frames):
+        # perturbed initial poses (pose 0 exact: it is the gauge anchor)
+        if i == 0:
+            R_init, t_init = Rs[i], ts[i]
+        else:
+            dw = RNG.normal(size=3) * pose_noise
+            R_init = np.asarray(so3_exp(jnp.asarray(dw))) @ Rs[i]
+            t_init = ts[i] + RNG.normal(size=3) * pose_noise * 5
+        m, s = insert_keyframe(m, i, jnp.asarray(R_init, jnp.float32),
+                               jnp.asarray(t_init, jnp.float32))
+        slots.append(int(s))
+    X_init = X_gt + RNG.normal(size=X_gt.shape) * point_noise
+    m, pslots = insert_points(
+        m, jnp.asarray(X_init, jnp.float32), jnp.ones(n_points, bool)
+    )
+    for i, s in enumerate(slots):
+        m = add_observations(
+            m, jnp.asarray(s), pslots, jnp.asarray(obs_noisy[i], jnp.float32),
+            jnp.ones(n_points, bool),
+        )
+    return m, (np.stack(Rs), np.stack(ts), X_gt)
+
+
+def test_map_insertion():
+    m = empty_map(window=4, max_points=64)
+    m, s0 = insert_keyframe(m, 0, jnp.eye(3), jnp.zeros(3))
+    assert int(s0) == 0 and bool(m.kf_valid[0])
+    pts = jnp.asarray(RNG.uniform(-1, 1, (10, 3)), jnp.float32)
+    m, slots = insert_points(m, pts, jnp.ones(10, bool))
+    assert int(m.point_count) == 10
+    np.testing.assert_array_equal(np.asarray(slots), np.arange(10))
+    # partial validity: only valid points allocated
+    m, slots2 = insert_points(m, pts, jnp.asarray([True, False] * 5))
+    assert int(m.point_count) == 15
+    s2 = np.asarray(slots2)
+    assert (s2[1::2] == -1).all()
+    assert (s2[0::2] == np.arange(10, 15)).all()
+
+
+def test_map_point_ring_recycling():
+    m = empty_map(window=2, max_points=8)
+    pts = jnp.asarray(RNG.uniform(-1, 1, (6, 3)), jnp.float32)
+    m, _ = insert_points(m, pts, jnp.ones(6, bool))
+    m, slots = insert_points(m, pts, jnp.ones(6, bool))
+    s = np.asarray(slots)
+    assert (s == np.array([6, 7, 0, 1, 2, 3])).all()
+
+
+def test_ba_reduces_cost_and_recovers_geometry():
+    m, (R_gt, t_gt, X_gt) = build_synthetic_map()
+    res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=15)
+    assert float(res.final_cost) < float(res.initial_cost) * 0.1
+    # pose 1..3 should be closer to ground truth after BA
+    for i in range(1, 4):
+        t_before = np.asarray(m.kf_t[i])
+        t_after = np.asarray(res.map.kf_t[i])
+        assert np.linalg.norm(t_after - t_gt[i]) < np.linalg.norm(t_before - t_gt[i])
+        R_after = np.asarray(res.map.kf_R[i])
+        # orthonormality preserved
+        np.testing.assert_allclose(R_after @ R_after.T, np.eye(3), atol=1e-4)
+
+
+def test_ba_gauge_pose0_fixed():
+    m, _ = build_synthetic_map()
+    res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=5)
+    np.testing.assert_allclose(
+        np.asarray(res.map.kf_R[0]), np.asarray(m.kf_R[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.map.kf_t[0]), np.asarray(m.kf_t[0]), atol=1e-6
+    )
+
+
+def test_ba_noise_floor():
+    """With zero observation noise BA should drive cost to ~0."""
+    m, _ = build_synthetic_map(noise_px=0.0, pose_noise=0.01, point_noise=0.02)
+    res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=20)
+    n_obs = float(jnp.sum(m.obs_mask))
+    rms = np.sqrt(2 * float(res.final_cost) / n_obs)  # px RMS (quadratic zone)
+    assert rms < 0.1, rms
+
+
+def test_ba_ignores_unobserved_points():
+    m, _ = build_synthetic_map(n_points=100, capacity=512)
+    before = np.asarray(m.points[200:])
+    res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=5)
+    np.testing.assert_array_equal(np.asarray(res.map.points[200:]), before)
+
+
+def test_ba_robust_to_outlier_observations():
+    m, (R_gt, t_gt, X_gt) = build_synthetic_map(n_points=150)
+    # corrupt 10% of observations grossly
+    obs = np.array(m.obs_uv)  # writable copy
+    idx = RNG.choice(150, 15, replace=False)
+    obs[1, idx] += RNG.uniform(50, 200, size=(15, 2))
+    m = m._replace(obs_uv=jnp.asarray(obs, jnp.float32))
+    res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=15)
+    # Huber keeps the solution near ground truth despite outliers
+    for i in range(1, 4):
+        assert np.linalg.norm(np.asarray(res.map.kf_t[i]) - t_gt[i]) < 0.1

@@ -21,6 +21,10 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+from tpuslam.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(

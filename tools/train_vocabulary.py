@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Train a binary BoW vocabulary from a directory (or directories) of images.
+
+Replacement for the reference's pretrained ``orb_mur.fbow`` blob (absent from
+the mount): detects FAST keypoints, computes steered-BRIEF descriptors, and
+runs binary k-means (see ``tpuslam.backend.vocabulary``).
+
+Usage:
+  python tools/train_vocabulary.py -o configs/vocabulary.npz \
+      tests/data/images tests/data/images_test_loop2 [--words 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from tpuslam.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Train a BoW vocabulary")
+    parser.add_argument("dirs", nargs="+", help="image directories")
+    parser.add_argument("-o", "--output", required=True)
+    parser.add_argument("--words", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--max-keypoints", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuslam.backend.vocabulary import Vocabulary
+    from tpuslam.config.schema import DetectorConfig
+    from tpuslam.frontend.detector import FeatureDetector
+
+    det = FeatureDetector(DetectorConfig(max_keypoints=args.max_keypoints))
+    corpus = []
+    for d in args.dirs:
+        for p in sorted(Path(d).iterdir()):
+            if p.suffix.lower() not in (".png", ".jpg", ".jpeg"):
+                continue
+            img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            kps, desc = det.detect_and_compute(jnp.asarray(img))
+            mask = np.asarray(kps.valid)
+            corpus.append(np.asarray(desc)[mask])
+            print(f"{p.name}: {mask.sum()} descriptors")
+    total = sum(len(c) for c in corpus)
+    print(f"training on {total} descriptors from {len(corpus)} images → {args.words} words")
+    vocab = Vocabulary.fit(corpus, num_words=args.words, iters=args.iters,
+                           seed=args.seed)
+    vocab.save(args.output)
+    print(f"saved to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Sliding-window bundle adjustment: Levenberg–Marquardt with Schur complement.
+
+The reference *declares* this capability — ``Backend::run()`` "performs
+optimizations" on the shared map (``include/slam/backend/backend.hpp:10-18``)
+— but ships no implementation.  This module provides it the TPU way
+(SURVEY §7 step 7, BASELINE north star): batched dense linear algebra.
+
+Structure per LM iteration (all shapes static, everything one jitted graph):
+
+  * residuals  r_ij = π(K(R_i X_j + t_i)) − uv_ij   over the dense (W, P)
+    observation grid, Huber-weighted;
+  * Jacobian blocks A_ij (2×6, pose) and B_ij (2×3, point) via ``jax.jacfwd``
+    of the per-observation residual, ``vmap``-ed over the grid;
+  * Hessian blocks U_i = Σ_j AᵀA, V_j = Σ_i BᵀB, W_ij = AᵀB as einsums;
+  * Schur complement S = U − Σ_j W V⁻¹ Wᵀ — a dense (6W, 6W) system (tiny:
+    48×48 for an 8-frame window) solved directly, then point back-substitution
+    with batched 3×3 solves;
+  * gauge: pose 0 is frozen (monocular gauge freedom), and LM damping
+    adapts by accept/reject via ``jnp.where`` — no data-dependent control
+    flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.map import MapState
+from tpuslam.common.geometry import so3_exp
+
+
+class BAResult(NamedTuple):
+    map: MapState
+    initial_cost: jax.Array
+    final_cost: jax.Array
+    iterations: jax.Array
+
+
+def _project_residual(R, t, X, uv, K):
+    """(2,) reprojection residual for one observation."""
+    cam = R @ X + t
+    z = jnp.maximum(cam[2], 1e-6)
+    pix = K @ (cam / z)
+    return pix[:2] - uv
+
+
+def _residual_with_delta(delta_pose, delta_point, R, t, X, uv, K):
+    """Residual after applying local updates (the BA parameterisation).
+
+    delta_pose ∈ se(3) as (ω, ν): R ← exp(ω)·R, t ← exp(ω)·t + ν.
+    """
+    dR = so3_exp(delta_pose[:3])
+    R_new = dR @ R
+    t_new = dR @ t + delta_pose[3:]
+    return _project_residual(R_new, t_new, X + delta_point, uv, K)
+
+
+def _huber_weight(r_norm: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight for the Huber kernel."""
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
+
+
+def _cost(R, t, points, obs_uv, obs_mask, K, huber: float) -> jax.Array:
+    res = jax.vmap(
+        jax.vmap(_project_residual, in_axes=(None, None, 0, 0, None)),
+        in_axes=(0, 0, None, 0, None),
+    )(R, t, points, obs_uv, K)  # (W, P, 2)
+    rn = jnp.linalg.norm(res, axis=-1)
+    # Huber cost
+    c = jnp.where(rn <= huber, 0.5 * rn**2, huber * (rn - 0.5 * huber))
+    return jnp.sum(jnp.where(obs_mask, c, 0.0))
+
+
+@partial(jax.jit, static_argnames=("iterations", "fix_first_pose"))
+def bundle_adjust(
+    m: MapState,
+    K: jax.Array,
+    *,
+    iterations: int = 10,
+    huber_px: float = 2.0,
+    init_lambda: float = 1e-3,
+    fix_first_pose: bool = True,
+) -> BAResult:
+    """Optimise keyframe poses and points in place (functional)."""
+    Kf = K.astype(jnp.float32)
+    W = m.window
+    P = m.capacity
+    huber = jnp.float32(huber_px)
+
+    mask = m.obs_mask & m.kf_valid[:, None] & m.point_valid[None, :]
+
+    # Jacobians of the residual w.r.t. (delta_pose, delta_point) at delta=0.
+    jac_fn = jax.jacfwd(_residual_with_delta, argnums=(0, 1))
+
+    def blocks(R, t, X, uv):
+        Ja, Jb = jac_fn(jnp.zeros(6), jnp.zeros(3), R, t, X, uv, Kf)
+        r = _project_residual(R, t, X, uv, Kf)
+        return Ja, Jb, r  # (2,6), (2,3), (2,)
+
+    blocks_grid = jax.vmap(
+        jax.vmap(blocks, in_axes=(None, None, 0, 0)), in_axes=(0, 0, None, 0)
+    )
+
+    zero6 = jnp.zeros((W, 6), jnp.float32)
+    # Freeze pose 0 (gauge) by masking its updates.
+    pose_free = jnp.ones((W,), jnp.float32)
+    if fix_first_pose:
+        pose_free = pose_free.at[0].set(0.0)
+
+    def lm_step(carry, _):
+        R, t, X, lam, cost = carry
+        A, B, r = blocks_grid(R, t, X, m.obs_uv)  # (W,P,2,6), (W,P,2,3), (W,P,2)
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(mask, _huber_weight(rn, huber), 0.0)  # (W, P)
+
+        U = jnp.einsum("wpri,wp,wprj->wij", A, w, A)  # (W, 6, 6)
+        V = jnp.einsum("wpri,wp,wprj->pij", B, w, B)  # (P, 3, 3)
+        Wb = jnp.einsum("wpri,wp,wprj->wpij", A, w, B)  # (W, P, 6, 3)
+        ga = -jnp.einsum("wpri,wp,wpr->wi", A, w, r)  # (W, 6)
+        gb = -jnp.einsum("wpri,wp,wpr->pi", B, w, r)  # (P, 3)
+
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        U_d = U + lam * eye6[None]
+        V_d = V + lam * eye3[None]
+        V_inv = jnp.linalg.inv(
+            V_d + 1e-8 * eye3[None]
+        )  # (P, 3, 3); inactive points have V=λI → harmless
+
+        # Schur complement over poses: S (W, 6, W, 6)
+        WVinv = jnp.einsum("wpij,pjk->wpik", Wb, V_inv)  # (W, P, 6, 3)
+        S_off = jnp.einsum("wpik,vpjk->wivj", WVinv, Wb)  # (W, 6, W, 6)
+        S = -S_off
+        S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(U_d)
+        rhs = ga - jnp.einsum("wpik,pk->wi", WVinv, gb)  # (W, 6)
+
+        # Gauge fixing: zero rows/cols of frozen poses, identity diagonal.
+        free = pose_free[:, None]  # (W, 1)
+        S = S * free[:, :, None, None] * free[None, None, :, :]
+        S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(
+            (1.0 - pose_free)[:, None, None] * eye6[None]
+        )
+        rhs = rhs * free
+
+        Sd = S.reshape(6 * W, 6 * W)
+        delta_a = jnp.linalg.solve(
+            Sd + 1e-8 * jnp.eye(6 * W), rhs.reshape(-1)
+        ).reshape(W, 6)
+        delta_a = delta_a * free
+        delta_b = jnp.einsum(
+            "pij,pj->pi", V_inv, gb - jnp.einsum("wpij,wi->pj", Wb, delta_a)
+        )
+        # Only move observed points.
+        seen = jnp.any(mask, axis=0)
+        delta_b = jnp.where(seen[:, None], delta_b, 0.0)
+
+        # Candidate update.
+        dRs = so3_exp(delta_a[:, :3])
+        R_new = dRs @ R
+        t_new = jnp.einsum("wij,wj->wi", dRs, t) + delta_a[:, 3:]
+        X_new = X + delta_b
+        new_cost = _cost(R_new, t_new, X_new, m.obs_uv, mask, Kf, huber)
+
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        return (R, t, X, lam, cost), cost
+
+    init_cost = _cost(m.kf_R, m.kf_t, m.points, m.obs_uv, mask, Kf, huber)
+    carry = (m.kf_R, m.kf_t, m.points, jnp.float32(init_lambda), init_cost)
+    carry, _ = jax.lax.scan(lm_step, carry, None, length=iterations)
+    R, t, X, _, final_cost = carry
+
+    return BAResult(
+        map=m._replace(kf_R=R, kf_t=t, points=X),
+        initial_cost=init_cost,
+        final_cost=final_cost,
+        iterations=jnp.asarray(iterations, jnp.int32),
+    )

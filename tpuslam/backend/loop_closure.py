@@ -1,0 +1,252 @@
+"""Loop closure: BoW place recognition + RANSAC DLT-PnP geometric verification.
+
+Reference semantics (``src/backend/loop_closure.cpp``):
+
+  * ``addKeyframe``: store BoW vector, keypoints, descriptors and 3D map
+    points per keyframe id (``:96-109``);
+  * ``detect``: gate on database size (``MinDbSize``), skip frames within
+    ``MinFramesDifference`` of the *last added* keyframe, find best and
+    second-best BoW scores, require ``maxScore ≥ MinAbsoluteScore`` and
+    ``maxScore ≥ RelativeScoreFactor · secondMaxScore`` (``:111-151``);
+  * geometric verification: re-match query vs candidate descriptors, gate on
+    ``MinMatchesForPnP``, RANSAC DLT-PnP, success iff inliers ≥
+    ``MinInliersForPnP`` → ``LoopResult{matchedKeyframeId, 4×4 transform}``
+    (``:153-236``).
+
+TPU-native restructuring: the keyframe database is a fixed-capacity ring of
+arrays (a pytree, donate-updatable under jit); BoW scoring over the whole
+database is one matvec; all ``optional``-style gates become boolean flags in
+the result so the caller composes the detector into jitted pipelines without
+data-dependent control flow.  fbow is replaced by the trained binary
+vocabulary of :mod:`tpuslam.backend.vocabulary`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.pnp import ransac_pnp
+from tpuslam.backend.vocabulary import Vocabulary
+from tpuslam.config.schema import LoopClosureConfig, MatcherConfig
+from tpuslam.frontend.matcher import match_descriptors
+
+
+class KeyframeDB(NamedTuple):
+    """Fixed-capacity keyframe database (pytree of device arrays)."""
+
+    bow: jax.Array  # (C, W) float32 — L2-normalised TF-IDF vectors
+    xy: jax.Array  # (C, K, 2) float32 — keypoint pixel coords
+    kp_valid: jax.Array  # (C, K) bool
+    descriptors: jax.Array  # (C, K, B) uint8
+    map_points: jax.Array  # (C, K, 3) float32 — 3D points per keypoint
+    mp_valid: jax.Array  # (C, K) bool — keypoint has a valid 3D map point
+    ids: jax.Array  # (C,) int32 — keyframe ids (-1 = empty slot)
+    count: jax.Array  # () int32 — number of stored keyframes
+    last_id: jax.Array  # () int32 — id of the last added keyframe
+
+    @property
+    def capacity(self) -> int:
+        return self.bow.shape[0]
+
+
+class LoopResult(NamedTuple):
+    """The reference's optional<LoopResult> as explicit flags."""
+
+    matched_keyframe_id: jax.Array  # () int32 (-1 when no loop)
+    relative_transform: jax.Array  # (4, 4) float32
+    num_inliers: jax.Array  # () int32
+    candidate_id: jax.Array  # () int32 — BoW candidate before verification
+    bow_score: jax.Array  # () float32
+    success: jax.Array  # () bool
+
+
+def empty_db(
+    capacity: int, num_words: int, max_keypoints: int, desc_bytes: int
+) -> KeyframeDB:
+    return KeyframeDB(
+        bow=jnp.zeros((capacity, num_words), jnp.float32),
+        xy=jnp.zeros((capacity, max_keypoints, 2), jnp.float32),
+        kp_valid=jnp.zeros((capacity, max_keypoints), bool),
+        descriptors=jnp.zeros((capacity, max_keypoints, desc_bytes), jnp.uint8),
+        map_points=jnp.zeros((capacity, max_keypoints, 3), jnp.float32),
+        mp_valid=jnp.zeros((capacity, max_keypoints), bool),
+        ids=jnp.full((capacity,), -1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+        last_id=jnp.asarray(-1, jnp.int32),
+    )
+
+
+class LoopClosure:
+    """Config-bound facade mirroring the reference ``LoopClosure``."""
+
+    def __init__(
+        self,
+        vocabulary: Vocabulary | str | Path,
+        config: LoopClosureConfig | str | Path,
+        matcher_config: MatcherConfig | None = None,
+    ):
+        if not isinstance(vocabulary, Vocabulary):
+            vocabulary = Vocabulary.load(vocabulary)
+        if not isinstance(config, LoopClosureConfig):
+            config = LoopClosureConfig.from_yaml(config)
+        self.vocabulary = vocabulary
+        self.config = config
+        self.matcher_config = matcher_config or MatcherConfig()
+        self._detect = jax.jit(self._detect_impl)
+        self._add = jax.jit(self._add_impl)
+
+    def new_db(self, max_keypoints: int, desc_bytes: int = 32) -> KeyframeDB:
+        return empty_db(
+            self.config.max_keyframes, self.vocabulary.num_words,
+            max_keypoints, desc_bytes,
+        )
+
+    # --- addKeyframe -------------------------------------------------------------
+    def add_keyframe(
+        self,
+        db: KeyframeDB,
+        keyframe_id: jax.Array | int,
+        descriptors: jax.Array,
+        xy: jax.Array,
+        kp_valid: jax.Array,
+        map_points: jax.Array,
+        mp_valid: jax.Array | None = None,
+    ) -> KeyframeDB:
+        """Functional insert (ring buffer when capacity is exceeded).
+
+        ``mp_valid`` marks which keypoints carry real 3D map points (defaults
+        to ``kp_valid`` — the reference stores a 3D point for every keypoint,
+        ``loop_closure.cpp:96-109``).
+        """
+        if mp_valid is None:
+            mp_valid = kp_valid
+        return self._add(
+            db, jnp.asarray(keyframe_id, jnp.int32), descriptors, xy, kp_valid,
+            map_points, mp_valid,
+        )
+
+    def _add_impl(self, db, keyframe_id, descriptors, xy, kp_valid, map_points,
+                  mp_valid):
+        slot = db.count % db.capacity
+        bow = self.vocabulary.transform(descriptors, kp_valid)
+        return KeyframeDB(
+            bow=db.bow.at[slot].set(bow),
+            xy=db.xy.at[slot].set(xy),
+            kp_valid=db.kp_valid.at[slot].set(kp_valid),
+            descriptors=db.descriptors.at[slot].set(descriptors),
+            map_points=db.map_points.at[slot].set(map_points),
+            mp_valid=db.mp_valid.at[slot].set(mp_valid),
+            ids=db.ids.at[slot].set(keyframe_id),
+            count=db.count + 1,
+            last_id=keyframe_id,
+        )
+
+    # --- detect --------------------------------------------------------------------
+    def detect(
+        self,
+        db: KeyframeDB,
+        descriptors: jax.Array,
+        xy: jax.Array,
+        kp_valid: jax.Array,
+        K: jax.Array,
+        key: jax.Array | None = None,
+    ) -> LoopResult:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._detect(db, descriptors, xy, kp_valid, K, key)
+
+    def _detect_impl(self, db, descriptors, xy, kp_valid, K, key):
+        cfg = self.config
+        mcfg = self.matcher_config
+
+        bow_q = self.vocabulary.transform(descriptors, kp_valid)  # (W,)
+        scores = db.bow @ bow_q  # (C,) one matvec over the whole DB
+
+        # Gates (reference loop_closure.cpp:111-147): slot must be occupied
+        # and at least MinFramesDifference ids away from the last keyframe.
+        occupied = db.ids >= 0
+        far = jnp.abs(db.last_id - db.ids) >= cfg.min_frames_difference
+        eligible = occupied & far
+        masked = jnp.where(eligible, scores, -jnp.inf)
+        best_slot = jnp.argmax(masked)
+        max_score = masked[best_slot]
+        second = jnp.where(
+            jnp.arange(db.capacity) == best_slot, -jnp.inf, masked
+        ).max()
+        second = jnp.maximum(second, 0.0)  # reference seeds secondMax at 0.0
+
+        db_big_enough = db.count >= cfg.min_db_size
+        bow_nonempty = jnp.sum(bow_q) > 0
+        candidate_ok = (
+            db_big_enough
+            & bow_nonempty
+            & jnp.any(eligible)
+            & (max_score >= cfg.min_absolute_score)
+            & (max_score >= cfg.relative_score_factor * second)
+        )
+        cand_id = jnp.where(candidate_ok, db.ids[best_slot], -1)
+
+        # Geometric verification (reference :153-236): re-match query
+        # descriptors against the candidate keyframe, then RANSAC DLT-PnP
+        # of the candidate's 3D map points against the query's 2D points.
+        cand_desc = db.descriptors[best_slot]
+        cand_xy = db.xy[best_slot]
+        cand_kp_valid = db.kp_valid[best_slot] & candidate_ok
+        match = match_descriptors(
+            descriptors,
+            cand_desc,
+            kp_valid,
+            cand_kp_valid,
+            xy,
+            cand_xy,
+            ratio_threshold=mcfg.ratio_test_threshold,
+            max_jump_radius=mcfg.max_jump_radius,
+            use_ratio_test=mcfg.use_ratio_test,
+            filter_matches=False,
+            use_spatial_penalty=True,
+        )
+        # Keep only matches whose candidate keypoint carries a 3D point.
+        # (Matching ran over the FULL candidate descriptor set so the ratio
+        # test is meaningful; restricting the candidate set first would let
+        # junk matches through — the reference matches the full set too,
+        # loop_closure.cpp:156-158.)
+        q = jnp.maximum(match.query_idx, 0)
+        t = jnp.maximum(match.train_idx, 0)
+        usable = match.valid & db.mp_valid[best_slot][t]
+        n_matches = jnp.sum(usable.astype(jnp.int32))
+        enough_matches = n_matches >= cfg.min_matches_for_pnp
+
+        pts2d = xy[q]  # query 2D (reference :172)
+        pts3d = db.map_points[best_slot][t]  # candidate 3D (:173)
+
+        pnp = ransac_pnp(
+            pts3d,
+            pts2d,
+            usable & enough_matches,
+            K,
+            key,
+            # The reference's RansacMaxIterations (100) assumes sequential
+            # early-exit RANSAC; batched evaluation is one-shot, so use it as
+            # a floor and score at least 512 hypotheses (essentially free on
+            # the TPU — one extra batched solve).
+            num_hypotheses=max(cfg.ransac_max_iterations, 512),
+            sample_size=6,
+            reproj_threshold=cfg.ransac_reprojection_threshold,
+            min_inliers=cfg.min_inliers_for_pnp,
+        )
+        success = candidate_ok & enough_matches & pnp.success
+
+        T = jnp.eye(4, dtype=jnp.float32)
+        T = T.at[:3, :3].set(pnp.R).at[:3, 3].set(pnp.t)
+        return LoopResult(
+            matched_keyframe_id=jnp.where(success, cand_id, -1),
+            relative_transform=jnp.where(success, T, jnp.eye(4, dtype=jnp.float32)),
+            num_inliers=pnp.num_inliers,
+            candidate_id=cand_id,
+            bow_score=jnp.where(jnp.isfinite(max_score), max_score, 0.0),
+            success=success,
+        )

@@ -1,0 +1,178 @@
+"""Batched RANSAC DLT-PnP: camera pose from 3D↔2D correspondences.
+
+Reference semantics (``src/backend/loop_closure.cpp:180-274``):
+
+  * RANSAC loop of ``RansacMaxIterations``: sample 6 unique matches, solve a
+    2n×12 DLT system for the projection matrix P, orthogonalise the rotation
+    block by SVD with det correction, rescale the translation, count inliers
+    by reprojection error < threshold with z > 0 cheirality, keep the best;
+  * success iff best inlier count ≥ ``MinInliersForPnP``.
+
+TPU-native restructuring: all hypotheses are sampled up front and solved as
+one batched 12-dim nullspace problem (one-sided Jacobi — float32-stable, no
+AᵀA squaring); all H×M reprojection errors are scored in one pass; a final
+least-squares refit on the best consensus set sharpens the pose.
+
+Two deliberate deviations from the reference (documented, not copied):
+  * ``loop_closure.cpp:258`` maps the DLT solution vector *column-major*
+    into P while the system rows are assembled *row-major* — we use the
+    consistent row-major mapping;
+  * ``loop_closure.cpp:272`` rescales ``t / ‖R_raw‖_F`` which leaves a
+    systematic 1/√3 factor; we use ``s = ‖R_raw‖_F / √3`` (the mean
+    singular value) so the recovered translation has metric scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.common.geometry import nullvec_jacobi, orthonormalize_rotation
+
+
+class PnPResult(NamedTuple):
+    R: jax.Array  # (3, 3)
+    t: jax.Array  # (3,)
+    inliers: jax.Array  # (M,) bool
+    num_inliers: jax.Array  # () int32
+    success: jax.Array  # () bool
+
+
+def _dlt_rows(points3d: jax.Array, points2d: jax.Array) -> jax.Array:
+    """(..., N, 3)+(..., N, 2) → (..., 2N, 12) DLT constraint rows.
+
+    Row pair per point (reference ``loop_closure.cpp:248-253``):
+      [X Y Z 1  0 0 0 0  -uX -uY -uZ -u]
+      [0 0 0 0  X Y Z 1  -vX -vY -vZ -v]
+    with p = row-major vec(P).
+    """
+    X = points3d
+    ones = jnp.ones((*X.shape[:-1], 1), X.dtype)
+    Xh = jnp.concatenate([X, ones], axis=-1)  # (..., N, 4)
+    u = points2d[..., 0:1]
+    v = points2d[..., 1:2]
+    zero = jnp.zeros_like(Xh)
+    row_u = jnp.concatenate([Xh, zero, -u * Xh], axis=-1)  # (..., N, 12)
+    row_v = jnp.concatenate([zero, Xh, -v * Xh], axis=-1)
+    rows = jnp.stack([row_u, row_v], axis=-2)  # (..., N, 2, 12)
+    return rows.reshape(*rows.shape[:-3], -1, 12)
+
+
+def solve_pnp_dlt(
+    points3d: jax.Array, points2d: jax.Array, weights: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Weighted least-squares DLT PnP → (R (..., 3, 3), t (..., 3)).
+
+    ``points2d`` must be in *pixel* coordinates of a calibrated system where
+    P = K[R|t] — the caller premultiplies by K⁻¹ (i.e. passes normalised
+    coordinates) to recover [R|t] directly, matching the reference which
+    solves for P from raw pixels but verifies with K applied separately.
+    """
+    rows = _dlt_rows(points3d, points2d)  # (..., 2N, 12)
+    if weights is not None:
+        w2 = jnp.repeat(weights, 2, axis=-1)  # each point contributes 2 rows
+        rows = rows * w2[..., None]
+    norm = jnp.maximum(jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12)
+    p = nullvec_jacobi(rows / norm)  # (..., 12) row-major vec(P)
+    P = p.reshape(*p.shape[:-1], 3, 4)
+    R_raw = P[..., :3]
+    t_raw = P[..., 3]
+    # Fix the projective sign so that det(R) > 0.
+    sign = jnp.sign(jnp.linalg.det(R_raw))[..., None, None]
+    sign = jnp.where(sign == 0, 1.0, sign)
+    R_raw = R_raw * sign
+    t_raw = t_raw * sign[..., 0]
+    # Orthogonal Procrustes via scaled Newton polish: R_raw = s·R + noise.
+    s = jnp.linalg.norm(R_raw, axis=(-2, -1), keepdims=True) / jnp.sqrt(3.0)
+    s = jnp.maximum(s, 1e-12)
+    R = orthonormalize_rotation(R_raw / s, iters=4)
+    t = t_raw / s[..., 0]
+    return R, t
+
+
+def reprojection_errors(
+    K: jax.Array, R: jax.Array, t: jax.Array, points3d: jax.Array, points2d: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(..., M) pixel reprojection error and camera-frame depth.
+
+    Mirrors the reference's inlier test (``loop_closure.cpp:201-215``):
+    error = ‖uv − π(K(RX + t))‖, plus z > 0 cheirality.
+    """
+    cam = points3d @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    z = cam[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    pix = (cam / z_safe[..., None]) @ jnp.swapaxes(K, -1, -2)
+    err = jnp.linalg.norm(pix[..., :2] - points2d, axis=-1)
+    return err, z
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "min_inliers"))
+def ransac_pnp(
+    points3d: jax.Array,
+    points2d: jax.Array,
+    valid: jax.Array,
+    K: jax.Array,
+    key: jax.Array,
+    *,
+    num_hypotheses: int = 128,
+    sample_size: int = 6,
+    reproj_threshold: float = 2.0,
+    min_inliers: int = 5,
+) -> PnPResult:
+    """Batched-RANSAC DLT PnP over (M,) correspondences.
+
+    ``points3d``: (M, 3) world points; ``points2d``: (M, 2) pixels;
+    ``valid``: (M,) bool; ``K``: (3, 3).
+    """
+    M = points3d.shape[0]
+    dtype = jnp.promote_types(points3d.dtype, jnp.float32)
+    X = points3d.astype(dtype)
+    uv = points2d.astype(dtype)
+    Kf = K.astype(dtype)
+
+    # Solve in normalised coordinates: P' = K⁻¹K[R|t] = [R|t].
+    fx, fy = Kf[0, 0], Kf[1, 1]
+    cx, cy = Kf[0, 2], Kf[1, 2]
+    xn = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
+
+    # Hypothesis sampling (Gumbel top-k = without replacement over valid).
+    g = jax.random.gumbel(key, (num_hypotheses, M), dtype=jnp.float32)
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(g, sample_size)  # (H, S)
+
+    R_h, t_h = solve_pnp_dlt(X[sample_idx], xn[sample_idx])  # (H, 3, 3), (H, 3)
+
+    err, z = reprojection_errors(Kf, R_h, t_h, X, uv)  # (H, M)
+    inlier_mat = (err < reproj_threshold) & (z > 0) & valid[None, :]
+    counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
+    best_h = jnp.argmax(counts)
+
+    # LO refit on the best consensus set (two rounds, monotone guard).
+    R_best, t_best = R_h[best_h], t_h[best_h]
+    inliers = inlier_mat[best_h]
+    best_count = counts[best_h]
+    for _ in range(2):
+        w = inliers.astype(dtype)
+        R_ref, t_ref = solve_pnp_dlt(X, xn, weights=w)
+        err_r, z_r = reprojection_errors(Kf, R_ref, t_ref, X, uv)
+        inl_r = (err_r < reproj_threshold) & (z_r > 0) & valid
+        cnt_r = jnp.sum(inl_r.astype(jnp.int32))
+        better = cnt_r >= best_count
+        R_best = jnp.where(better, R_ref, R_best)
+        t_best = jnp.where(better, t_ref, t_best)
+        inliers = jnp.where(better, inl_r, inliers)
+        best_count = jnp.where(better, cnt_r, best_count)
+
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    success = (best_count >= min_inliers) & (n_valid >= sample_size)
+    eye = jnp.eye(3, dtype=dtype)
+    return PnPResult(
+        R=jnp.where(success, R_best, eye),
+        t=jnp.where(success, t_best, jnp.zeros(3, dtype)),
+        inliers=inliers & success,
+        num_inliers=jnp.where(success, best_count, 0),
+        success=success,
+    )

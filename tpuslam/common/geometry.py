@@ -33,33 +33,41 @@ def nullvec_jacobi(A: jax.Array, sweeps: int = 8) -> jax.Array:
     thousands of small DLT systems.
     """
     n = A.shape[-1]
-    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (*A.shape[:-2], n, n))
-    eps = jnp.asarray(1e-30, dtype=A.dtype)
-    for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                cp = A[..., :, p]
-                cq = A[..., :, q]
-                app = jnp.sum(cp * cp, axis=-1)
-                aqq = jnp.sum(cq * cq, axis=-1)
-                apq = jnp.sum(cp * cq, axis=-1)
-                # Jacobi rotation zeroing the (p, q) off-diagonal of AᵀA.
-                tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < eps, eps, apq))
-                sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(A.dtype)
-                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-                t = jnp.where(jnp.abs(apq) < eps * (app + aqq + eps), 0.0, t)
-                c = 1.0 / jnp.sqrt(1.0 + t * t)
-                s = t * c
-                cN, sN = c[..., None], s[..., None]
-                new_p = cN * cp - sN * cq
-                new_q = sN * cp + cN * cq
-                A = A.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
-                vp = V[..., :, p]
-                vq = V[..., :, q]
-                V = (
-                    V.at[..., :, p].set(cN * vp - sN * vq)
-                    .at[..., :, q].set(sN * vp + cN * vq)
-                )
+    dtype = A.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    V0 = jnp.broadcast_to(eye, (*A.shape[:-2], n, n))
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    p_sched = jnp.asarray([p for p, _ in pairs], jnp.int32)
+    q_sched = jnp.asarray([q for _, q in pairs], jnp.int32)
+    n_pairs = len(pairs)
+    eps = jnp.asarray(1e-30, dtype=dtype)
+
+    def body(i, carry):
+        A, V = carry
+        ep = eye[p_sched[i % n_pairs]]  # (n,)
+        eq = eye[q_sched[i % n_pairs]]
+        cp = A @ ep  # (..., m)
+        cq = A @ eq
+        app = jnp.sum(cp * cp, axis=-1)
+        aqq = jnp.sum(cq * cq, axis=-1)
+        apq = jnp.sum(cp * cq, axis=-1)
+        # Jacobi rotation zeroing the (p, q) off-diagonal of AᵀA.
+        tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < eps, eps, apq))
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(dtype)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(jnp.abs(apq) < eps * (app + aqq + eps), 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # Givens: col p ← c·p − s·q, col q ← s·p + c·q, applied as A @ G so
+        # each step is one small matmul (fast to compile AND MXU-friendly).
+        cm1 = (c - 1.0)[..., None, None]
+        sN = s[..., None, None]
+        pp = ep[:, None] * ep[None, :] + eq[:, None] * eq[None, :]
+        pq = ep[:, None] * eq[None, :] - eq[:, None] * ep[None, :]
+        G = eye + cm1 * pp + sN * pq
+        return A @ G, V @ G
+
+    A, V = jax.lax.fori_loop(0, sweeps * n_pairs, body, (A, V0))
     norms = jnp.linalg.norm(A, axis=-2)  # (..., n) singular values
     idx = jnp.argmin(norms, axis=-1)
     return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
@@ -195,14 +203,21 @@ def orthonormalize_rotation(R: jax.Array, iters: int = 3) -> jax.Array:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues exponential map (..., 3) → (..., 3, 3) rotation matrices."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    axis = w / theta
-    th = theta[..., None]
-    K = hat(axis)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    """Rodrigues exponential map (..., 3) → (..., 3, 3) rotation matrices.
+
+    Autodiff-safe at w = 0 (Taylor-switched coefficients; ``norm`` has a NaN
+    gradient at zero, which would poison BA's ``jacfwd`` at the linearisation
+    point).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    Kx = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), Kx.shape)
+    return eye + a * Kx + b * (Kx @ Kx)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
