@@ -116,11 +116,11 @@ def bundle_adjust(
         rn = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(mask, _huber_weight(rn, huber), 0.0)  # (W, P)
 
-        U = jnp.einsum("wpri,wp,wprj->wij", A, w, A)  # (W, 6, 6)
-        V = jnp.einsum("wpri,wp,wprj->pij", B, w, B)  # (P, 3, 3)
-        Wb = jnp.einsum("wpri,wp,wprj->wpij", A, w, B)  # (W, P, 6, 3)
-        ga = -jnp.einsum("wpri,wp,wpr->wi", A, w, r)  # (W, 6)
-        gb = -jnp.einsum("wpri,wp,wpr->pi", B, w, r)  # (P, 3)
+        U = jnp.einsum("wpri,wp,wprj->wij", A, w, A, precision="highest")  # (W, 6, 6)
+        V = jnp.einsum("wpri,wp,wprj->pij", B, w, B, precision="highest")  # (P, 3, 3)
+        Wb = jnp.einsum("wpri,wp,wprj->wpij", A, w, B, precision="highest")  # (W, P, 6, 3)
+        ga = -jnp.einsum("wpri,wp,wpr->wi", A, w, r, precision="highest")  # (W, 6)
+        gb = -jnp.einsum("wpri,wp,wpr->pi", B, w, r, precision="highest")  # (P, 3)
 
         eye6 = jnp.eye(6, dtype=jnp.float32)
         eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -131,11 +131,11 @@ def bundle_adjust(
         )  # (P, 3, 3); inactive points have V=λI → harmless
 
         # Schur complement over poses: S (W, 6, W, 6)
-        WVinv = jnp.einsum("wpij,pjk->wpik", Wb, V_inv)  # (W, P, 6, 3)
-        S_off = jnp.einsum("wpik,vpjk->wivj", WVinv, Wb)  # (W, 6, W, 6)
+        WVinv = jnp.einsum("wpij,pjk->wpik", Wb, V_inv, precision="highest")  # (W, P, 6, 3)
+        S_off = jnp.einsum("wpik,vpjk->wivj", WVinv, Wb, precision="highest")  # (W, 6, W, 6)
         S = -S_off
         S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(U_d)
-        rhs = ga - jnp.einsum("wpik,pk->wi", WVinv, gb)  # (W, 6)
+        rhs = ga - jnp.einsum("wpik,pk->wi", WVinv, gb, precision="highest")  # (W, 6)
 
         # Gauge fixing: zero rows/cols of frozen poses, identity diagonal.
         free = pose_free[:, None]  # (W, 1)
@@ -151,7 +151,9 @@ def bundle_adjust(
         ).reshape(W, 6)
         delta_a = delta_a * free
         delta_b = jnp.einsum(
-            "pij,pj->pi", V_inv, gb - jnp.einsum("wpij,wi->pj", Wb, delta_a)
+            "pij,pj->pi", V_inv,
+            gb - jnp.einsum("wpij,wi->pj", Wb, delta_a, precision="highest"),
+            precision="highest",
         )
         # Only move observed points.
         seen = jnp.any(mask, axis=0)
@@ -160,7 +162,7 @@ def bundle_adjust(
         # Candidate update.
         dRs = so3_exp(delta_a[:, :3])
         R_new = dRs @ R
-        t_new = jnp.einsum("wij,wj->wi", dRs, t) + delta_a[:, 3:]
+        t_new = jnp.einsum("wij,wj->wi", dRs, t, precision="highest") + delta_a[:, 3:]
         X_new = X + delta_b
         new_cost = _cost(R_new, t_new, X_new, m.obs_uv, mask, Kf, huber)
 

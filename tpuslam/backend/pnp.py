@@ -101,10 +101,10 @@ def reprojection_errors(
     Mirrors the reference's inlier test (``loop_closure.cpp:201-215``):
     error = ‖uv − π(K(RX + t))‖, plus z > 0 cheirality.
     """
-    cam = points3d @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    cam = jnp.matmul(points3d, jnp.swapaxes(R, -1, -2), precision="highest") + t[..., None, :]
     z = cam[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    pix = (cam / z_safe[..., None]) @ jnp.swapaxes(K, -1, -2)
+    pix = jnp.matmul(cam / z_safe[..., None], jnp.swapaxes(K, -1, -2), precision="highest")
     err = jnp.linalg.norm(pix[..., :2] - points2d, axis=-1)
     return err, z
 

@@ -46,8 +46,8 @@ def nullvec_jacobi(A: jax.Array, sweeps: int = 8) -> jax.Array:
         A, V = carry
         ep = eye[p_sched[i % n_pairs]]  # (n,)
         eq = eye[q_sched[i % n_pairs]]
-        cp = A @ ep  # (..., m)
-        cq = A @ eq
+        cp = jnp.matmul(A, ep, precision="highest")  # (..., m)
+        cq = jnp.matmul(A, eq, precision="highest")
         app = jnp.sum(cp * cp, axis=-1)
         aqq = jnp.sum(cq * cq, axis=-1)
         apq = jnp.sum(cp * cq, axis=-1)
@@ -65,7 +65,10 @@ def nullvec_jacobi(A: jax.Array, sweeps: int = 8) -> jax.Array:
         pp = ep[:, None] * ep[None, :] + eq[:, None] * eq[None, :]
         pq = ep[:, None] * eq[None, :] - eq[:, None] * ep[None, :]
         G = eye + cm1 * pp + sN * pq
-        return A @ G, V @ G
+        return (
+            jnp.matmul(A, G, precision="highest"),
+            jnp.matmul(V, G, precision="highest"),
+        )
 
     A, V = jax.lax.fori_loop(0, sweeps * n_pairs, body, (A, V0))
     norms = jnp.linalg.norm(A, axis=-2)  # (..., n) singular values
@@ -198,7 +201,10 @@ def orthonormalize_rotation(R: jax.Array, iters: int = 3) -> jax.Array:
     """
     eye = jnp.eye(3, dtype=R.dtype)
     for _ in range(iters):
-        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+        # TPU f32 matmuls default to bf16 multiplication passes; the polar
+        # Newton iteration needs true f32.
+        RtR = jnp.matmul(jnp.swapaxes(R, -1, -2), R, precision="highest")
+        R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision="highest")
     return R
 
 

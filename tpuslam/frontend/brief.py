@@ -61,7 +61,8 @@ def gaussian_blur_u8(
     img = image.astype(jnp.float32)[None, None]  # NCHW
     ker = kernel.astype(jnp.float32)[None, None]  # OIHW
     conv = jax.lax.conv_general_dilated(
-        img, ker, window_strides=(1, 1), padding="VALID"
+        img, ker, window_strides=(1, 1), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
     interior = jnp.floor(conv + 0.5).astype(jnp.uint8)
     out = jnp.pad(interior, ((half, half), (half, half)))

@@ -70,12 +70,12 @@ def _solve_e_from_rows(rows: jax.Array, weights: jax.Array | None = None) -> jax
     """
     if weights is not None:
         rows = rows * weights[..., None]
-    ata = jnp.einsum("...ni,...nj->...ij", rows, rows)
+    ata = jnp.einsum("...ni,...nj->...ij", rows, rows, precision="highest")
     e = smallest_eigvec(ata)  # (..., 9)
     E = e.reshape(*e.shape[:-1], 3, 3)
     u, _, vt = jnp.linalg.svd(E)
     s = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
-    return (u * s[..., None, :]) @ vt
+    return jnp.matmul(u * s[..., None, :], vt, precision="highest")
 
 
 def sampson_error_sq(
@@ -89,9 +89,9 @@ def sampson_error_sq(
     ones = jnp.ones((*x1.shape[:-1], 1), dtype=x1.dtype)
     x1h = jnp.concatenate([x1, ones], axis=-1)  # (N, 3)
     x2h = jnp.concatenate([x2, ones], axis=-1)
-    Ex1 = jnp.einsum("...ij,nj->...ni", E, x1h)  # (..., N, 3)
-    Etx2 = jnp.einsum("...ji,nj->...ni", E, x2h)
-    err = jnp.einsum("ni,...ni->...n", x2h, Ex1)  # (..., N)
+    Ex1 = jnp.einsum("...ij,nj->...ni", E, x1h, precision="highest")  # (..., N, 3)
+    Etx2 = jnp.einsum("...ji,nj->...ni", E, x2h, precision="highest")
+    err = jnp.einsum("ni,...ni->...n", x2h, Ex1, precision="highest")  # (..., N)
     denom = (
         Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
     )
@@ -109,8 +109,8 @@ def decompose_essential(E: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """
     u, _, vt = jnp.linalg.svd(E)
     W = _W.astype(E.dtype)
-    R1 = u @ W @ vt
-    R2 = u @ W.T @ vt
+    R1 = jnp.matmul(jnp.matmul(u, W, precision="highest"), vt, precision="highest")
+    R2 = jnp.matmul(jnp.matmul(u, W.T, precision="highest"), vt, precision="highest")
     R1 = jnp.where(jnp.linalg.det(R1) < 0, -R1, R1)
     R2 = jnp.where(jnp.linalg.det(R2) < 0, -R2, R2)
     # TPU float32 SVD leaves ~1e-2 orthonormality drift; polish with Newton
@@ -148,7 +148,7 @@ def cheirality_votes(
     w = Xh[..., 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     z1 = Xh[..., 2] / w_safe
-    X2 = jnp.einsum("cij,cnj->cni", P2, Xh / w_safe[..., None])
+    X2 = jnp.einsum("cij,cnj->cni", P2, Xh / w_safe[..., None], precision="highest")
     z2 = X2[..., 2]
     front = (z1 > 0) & (z2 > 0) & valid[None, :]
     return jnp.sum(front.astype(jnp.int32), axis=-1)  # (4,)

@@ -57,6 +57,16 @@ class ChunkResult(NamedTuple):
     num_matches: jax.Array  # (B,) int32
     num_inliers: jax.Array  # (B,) int32
     pose_ok: jax.Array  # (B,) bool
+    # Optional (populated when the chunk runs with_features=True, for the
+    # full SLAM system: keyframing, loop closure, bundle adjustment).
+    kps_xy: jax.Array | None = None  # (B, K, 2)
+    kps_valid: jax.Array | None = None  # (B, K)
+    desc: jax.Array | None = None  # (B, K, D) uint8
+    m_query: jax.Array | None = None  # (B, M) int32 — into previous frame kps
+    m_train: jax.Array | None = None  # (B, M) int32 — into current frame kps
+    m_valid: jax.Array | None = None  # (B, M)
+    points3d: jax.Array | None = None  # (B, M, 3) — current-camera coords
+    point_ok: jax.Array | None = None  # (B, M)
 
 
 def _invert_rt(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -82,7 +92,8 @@ class SlamPipeline:
         flat_idx, valid = self.camera.device_undistort_map()
         self._undistort_idx = flat_idx
         self._undistort_valid = valid
-        self._chunk_fn = jax.jit(self._process_chunk)
+        self._chunk_fn = jax.jit(partial(self._process_chunk, with_features=False))
+        self._chunk_full_fn = jax.jit(partial(self._process_chunk, with_features=True))
 
     # --- state ----------------------------------------------------------------
     def initial_state(self) -> VoState:
@@ -112,7 +123,12 @@ class SlamPipeline:
         return self.detector.detect_and_compute(und)
 
     def _process_chunk(
-        self, frames: jax.Array, frame_valid: jax.Array, state: VoState, key: jax.Array
+        self,
+        frames: jax.Array,
+        frame_valid: jax.Array,
+        state: VoState,
+        key: jax.Array,
+        with_features: bool = False,
     ) -> tuple[ChunkResult, VoState]:
         B = frames.shape[0]
         mcfg = self.config.matcher
@@ -191,11 +207,45 @@ class SlamPipeline:
             pose=poses[last],
             frame_idx=state.frame_idx + n_real,
         )
+        extra = {}
+        if with_features:
+            # Triangulate matched points per pair (in the pair's first-camera
+            # frame), then transform into the *current* camera: X₂ = R X₁ + t.
+            from tpuslam.frontend.pose import triangulate_matched_points
+
+            X_prev = jax.vmap(
+                lambda R, t, p1, p2: triangulate_matched_points(self._K, R, t, p1, p2)
+            )(res.R, res.t, pts1, pts2)  # (B, M, 3)
+            X_cur = (
+                jnp.einsum("bij,bmj->bmi", res.R, X_prev, precision="highest")
+                + res.t[:, None, :]
+            )
+            z_prev = X_prev[..., 2]
+            z_cur = X_cur[..., 2]
+            point_ok = (
+                res.inliers
+                & mvalid
+                & (z_prev > 0.5)
+                & (z_prev < 80.0)
+                & (z_cur > 0.5)
+                & res.success[:, None]
+            )
+            extra = dict(
+                kps_xy=kps.xy,
+                kps_valid=kps.valid,
+                desc=desc,
+                m_query=match.query_idx,
+                m_train=match.train_idx,
+                m_valid=mvalid,
+                points3d=X_cur,
+                point_ok=point_ok,
+            )
         result = ChunkResult(
             poses=poses,
             num_matches=jnp.sum(mvalid.astype(jnp.int32), axis=-1),
             num_inliers=res.num_inliers,
             pose_ok=res.success,
+            **extra,
         )
         return result, new_state
 

@@ -1,0 +1,225 @@
+"""SlamSystem: the complete SLAM stack — VO + keyframes + loop closure + BA.
+
+This is the full composition the reference's ``SLAMModel`` declared but never
+implemented (``model.hpp:20-27`` lists Camera → Preprocessor →
+FeatureDetector → FeatureMatcher → PoseEstimator → Map → Backend →
+Visualizer as commented-out members).  Concretely:
+
+  * **tracking** — the batched VO pipeline (:mod:`tpuslam.model.slam`),
+    which also triangulates per-pair map points on device;
+  * **map** — the fixed-shape sliding window of
+    :mod:`tpuslam.backend.map`, fed with world-frame points and two-view
+    observations (each triangulated point is observed in both frames of its
+    pair, which is what makes windowed BA well-posed);
+  * **backend** — sliding-window bundle adjustment
+    (:mod:`tpuslam.backend.ba`) run every ``ba_interval`` keyframes, the
+    functional equivalent of the reference's declared optimizer thread
+    (``backend.hpp:13-17``): instead of a mutex-guarded shared map, the
+    optimized window is folded back into the trajectory;
+  * **loop closure** — BoW detection + PnP verification per keyframe
+    (:mod:`tpuslam.backend.loop_closure`); detected loops are reported in
+    the results (pose-graph correction is future work — the reference has
+    no integration at all to compare against).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.backend.ba import bundle_adjust
+from tpuslam.backend.loop_closure import LoopClosure
+from tpuslam.backend.map import (
+    add_observations,
+    empty_map,
+    insert_keyframe,
+    insert_points,
+)
+from tpuslam.backend.vocabulary import Vocabulary
+from tpuslam.common.camera import Camera
+from tpuslam.config.schema import SlamConfig
+from tpuslam.model.slam import SlamPipeline
+
+
+@dataclass
+class SlamSystem:
+    camera: Camera
+    config: SlamConfig
+    vocabulary: Vocabulary | str | Path | None = None
+    keyframe_interval: int = 2
+    ba_window: int = 8
+    ba_interval: int = 4
+    ba_iterations: int = 8
+    max_map_points: int = 8192
+    enable_loop_closure: bool = True
+    enable_ba: bool = True
+
+    def __post_init__(self) -> None:
+        self.pipeline = SlamPipeline(self.camera, self.config)
+        self._K = jnp.asarray(self.camera.K, jnp.float32)
+        self.loop_closure = None
+        if self.enable_loop_closure and self.vocabulary is not None:
+            self.loop_closure = LoopClosure(
+                self.vocabulary, self.config.loop_closure, self.config.matcher
+            )
+
+    def run(
+        self,
+        frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
+        seed: int = 0,
+    ) -> dict:
+        state = self.pipeline.initial_state()
+        key = jax.random.PRNGKey(seed)
+        world_map = empty_map(self.ba_window, self.max_map_points)
+        db = (
+            self.loop_closure.new_db(
+                self.config.detector.max_keypoints,
+                self.config.detector.descriptor_bytes,
+            )
+            if self.loop_closure is not None
+            else None
+        )
+
+        poses: list[np.ndarray] = []
+        loops: list[dict] = []
+        ba_events: list[dict] = []
+        stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
+        frame_id = 0
+        kf_since_ba = 0
+        kf_slot_to_traj: dict[int, int] = {}
+
+        for frames, _stamps, valid in frame_batches:
+            key, sub = jax.random.split(key)
+            result, state = self.pipeline._chunk_full_fn(
+                jnp.asarray(frames), jnp.asarray(valid), state, sub
+            )
+            n = int(valid.sum())
+            chunk_poses = np.array(result.poses[:n])  # writable copy (BA folds poses back)
+            poses.append(chunk_poses)
+            stats["num_matches"].append(np.asarray(result.num_matches)[:n])
+            stats["num_inliers"].append(np.asarray(result.num_inliers)[:n])
+            stats["pose_ok"].append(np.asarray(result.pose_ok)[:n])
+
+            for b in range(n):
+                fid = frame_id + b
+                if fid % self.keyframe_interval != 0:
+                    continue
+                if not bool(result.pose_ok[b]) and fid > 0:
+                    continue
+                # ---- keyframe: map insertion + observations -----------------
+                T_w = result.poses[b]  # (4, 4) T_world_cam
+                world_map, kf_slot = insert_keyframe(
+                    world_map,
+                    fid,
+                    jnp.swapaxes(T_w[:3, :3], 0, 1),  # world→cam R = Rᵀ
+                    -jnp.swapaxes(T_w[:3, :3], 0, 1) @ T_w[:3, 3],
+                )
+                kf_slot_to_traj[int(kf_slot)] = len(poses) * 0 + fid
+                ok = result.point_ok[b]
+                X_cur = result.points3d[b]
+                X_world = (
+                    jnp.einsum("ij,mj->mi", T_w[:3, :3], X_cur, precision="highest")
+                    + T_w[:3, 3][None, :]
+                )
+                world_map, pslots = insert_points(world_map, X_world, ok)
+                # observation in the current keyframe at the train keypoints
+                t_idx = jnp.maximum(result.m_train[b], 0)
+                uv_cur = result.kps_xy[b][t_idx]
+                world_map = add_observations(world_map, kf_slot, pslots, uv_cur, ok)
+                kf_since_ba += 1
+
+                # ---- loop closure -------------------------------------------
+                if self.loop_closure is not None and db is not None:
+                    key, sub2 = jax.random.split(key)
+                    res = self.loop_closure.detect(
+                        db,
+                        result.desc[b],
+                        result.kps_xy[b],
+                        result.kps_valid[b],
+                        self._K,
+                        sub2,
+                    )
+                    if bool(res.success):
+                        loops.append(
+                            {
+                                "frame_id": fid,
+                                "matched_keyframe_id": int(res.matched_keyframe_id),
+                                "num_inliers": int(res.num_inliers),
+                                "relative_transform": np.asarray(
+                                    res.relative_transform
+                                ),
+                            }
+                        )
+                    # map points for the DB live in the keyframe camera frame
+                    mp_cam = X_cur
+                    mp_valid_kp = (
+                        jnp.zeros(result.kps_valid.shape[1], bool)
+                        .at[t_idx]
+                        .max(ok)
+                    )
+                    mp_per_kp = (
+                        jnp.zeros((result.kps_valid.shape[1], 3))
+                        .at[t_idx]
+                        .set(jnp.where(ok[:, None], mp_cam, 0.0))
+                    )
+                    db = self.loop_closure.add_keyframe(
+                        db,
+                        fid,
+                        result.desc[b],
+                        result.kps_xy[b],
+                        result.kps_valid[b],
+                        mp_per_kp,
+                        mp_valid_kp,
+                    )
+
+                # ---- windowed bundle adjustment ------------------------------
+                if self.enable_ba and kf_since_ba >= self.ba_interval:
+                    ba = bundle_adjust(
+                        world_map, self._K, iterations=self.ba_iterations
+                    )
+                    world_map = ba.map
+                    ba_events.append(
+                        {
+                            "frame_id": fid,
+                            "initial_cost": float(ba.initial_cost),
+                            "final_cost": float(ba.final_cost),
+                        }
+                    )
+                    kf_since_ba = 0
+                    # fold optimized keyframe poses back into the trajectory
+                    self._apply_ba_poses(world_map, poses)
+            frame_id += n
+
+        all_poses = np.concatenate(poses) if poses else np.zeros((0, 4, 4))
+        return {
+            "poses": all_poses,
+            "loops": loops,
+            "ba_events": ba_events,
+            "map": world_map,
+            **{k: np.concatenate(v) if v else np.zeros((0,)) for k, v in stats.items()},
+        }
+
+    @staticmethod
+    def _apply_ba_poses(world_map, poses: list[np.ndarray]) -> None:
+        """Write optimized keyframe poses back into the trajectory chunks."""
+        kf_ids = np.asarray(world_map.kf_id)
+        kf_valid = np.asarray(world_map.kf_valid)
+        R = np.asarray(world_map.kf_R)
+        t = np.asarray(world_map.kf_t)
+        # flatten view over chunk list
+        offsets = np.cumsum([0] + [len(p) for p in poses])
+        for slot in np.nonzero(kf_valid)[0]:
+            fid = int(kf_ids[slot])
+            chunk = int(np.searchsorted(offsets, fid, side="right") - 1)
+            local = fid - offsets[chunk]
+            if chunk >= len(poses) or local >= len(poses[chunk]):
+                continue
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R[slot].T  # cam→world
+            T[:3, 3] = -R[slot].T @ t[slot]
+            poses[chunk][local] = T
