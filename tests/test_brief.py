@@ -129,3 +129,56 @@ def test_brief_rotation_changes_descriptor(blurred):
         )
     )
     assert (descs[0] != descs[1]).any()
+
+
+def test_quantized_brief_agrees_with_exact(crop, blurred):
+    """The MXU (angle-quantised) BRIEF path must agree with the exact path
+    to within a few bits per descriptor."""
+    from tpuslam.frontend.brief import (
+        build_brief_bin_weights,
+        compute_brief_descriptors_quantized,
+    )
+    from tests.golden.reference_impl import orientation
+
+    pattern = generate_brief_pattern(256, 31, seed=42)
+    W, _ = build_brief_bin_weights(pattern, 31, bins=64)
+    pts = [(30, 30), (64, 48), (100, 70), (40, 60)]
+    angles = jnp.asarray([orientation(blurred, x, y, 31) for x, y in pts], jnp.float32)
+    kps = make_kps(pts)
+    exact = np.asarray(
+        compute_brief_descriptors(jnp.asarray(blurred), kps, angles, pattern, 256, 31)
+    )
+    quant = np.asarray(
+        compute_brief_descriptors_quantized(
+            jnp.asarray(blurred), kps, angles, pattern, jnp.asarray(W), 256, 31, 64
+        )
+    )
+    for i in range(len(pts)):
+        ham = bin(
+            int.from_bytes(exact[i].tobytes(), "big")
+            ^ int.from_bytes(quant[i].tobytes(), "big")
+        ).count("1")
+        assert ham <= 24, f"kp {i}: {ham} bits differ"
+
+
+def test_quantized_brief_zero_angle_exact_match(crop, blurred):
+    """At angle exactly 0 the quantised path must be bit-identical."""
+    from tpuslam.frontend.brief import (
+        build_brief_bin_weights,
+        compute_brief_descriptors_quantized,
+    )
+
+    pattern = generate_brief_pattern(256, 31, seed=42)
+    W, _ = build_brief_bin_weights(pattern, 31, bins=64)
+    pts = [(30, 30), (64, 48), (100, 70)]
+    kps = make_kps(pts)
+    zeros = jnp.zeros(3, jnp.float32)
+    exact = np.asarray(
+        compute_brief_descriptors(jnp.asarray(blurred), kps, zeros, pattern, 256, 31)
+    )
+    quant = np.asarray(
+        compute_brief_descriptors_quantized(
+            jnp.asarray(blurred), kps, zeros, pattern, jnp.asarray(W), 256, 31, 64
+        )
+    )
+    np.testing.assert_array_equal(exact, quant)

@@ -44,6 +44,10 @@ class DetectorConfig:
     # TPU capacity fields (not in the reference — fixed-shape buffer sizes).
     max_keypoints: int = 1024
     brief_seed: int = 42
+    # 0 = exact continuous-angle BRIEF (reference parity); >0 quantises the
+    # orientation to this many bins so description runs as one int8 MXU
+    # matmul (~7× faster; ≤ 360/bins deg quantisation).
+    brief_quantized_bins: int = 0
 
     def __post_init__(self) -> None:
         if not 0 <= self.intensity_threshold <= 255:
@@ -74,6 +78,7 @@ class DetectorConfig:
             num_brief_pairs=int(_get(doc, "NumBRIEFPairs", 256)),
             max_keypoints=int(_get(doc, "MaxKeypoints", 1024)),
             brief_seed=int(_get(doc, "BriefSeed", 42)),
+            brief_quantized_bins=int(_get(doc, "BriefQuantizedBins", 0)),
         )
 
     @property

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from tpuslam.config.schema import DetectorConfig
 from tpuslam.frontend.brief import (
     BriefPattern,
+    build_brief_bin_weights,
     compute_brief_descriptors,
+    compute_brief_descriptors_quantized,
     compute_orientations,
     gaussian_blur_u8,
     gaussian_kernel,
@@ -37,6 +39,12 @@ class FeatureDetector:
             config.num_brief_pairs, config.patch_size, seed=config.brief_seed
         )
         self.blur_kernel = jnp.asarray(gaussian_kernel())
+        self.bin_weights = None
+        if config.brief_quantized_bins > 0:
+            W, _ = build_brief_bin_weights(
+                self.pattern, config.patch_size, config.brief_quantized_bins
+            )
+            self.bin_weights = jnp.asarray(W)
 
     # --- detect ---------------------------------------------------------------
     def detect(self, image: jax.Array) -> KeypointSet:
@@ -63,8 +71,10 @@ class FeatureDetector:
             kps,
             self.blur_kernel,
             self.pattern,
+            self.bin_weights,
             self.config.num_brief_pairs,
             self.config.patch_size,
+            self.config.brief_quantized_bins,
         )
 
     def detect_and_compute(self, image: jax.Array) -> tuple[KeypointSet, jax.Array]:
@@ -77,18 +87,26 @@ class FeatureDetector:
         return jax.vmap(self.detect_and_compute)(images)
 
 
-@partial(jax.jit, static_argnames=("num_pairs", "patch_size"))
+@partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
 def _compute_impl(
     image: jax.Array,
     kps: KeypointSet,
     blur_kernel: jax.Array,
     pattern: BriefPattern,
+    bin_weights: jax.Array | None,
     num_pairs: int,
     patch_size: int,
+    quantized_bins: int,
 ) -> tuple[KeypointSet, jax.Array]:
     blurred = gaussian_blur_u8(image, blur_kernel)
     angles = compute_orientations(blurred, kps, patch_size)
-    descriptors = compute_brief_descriptors(
-        blurred, kps, angles, pattern, num_pairs, patch_size
-    )
+    if quantized_bins > 0 and bin_weights is not None:
+        descriptors = compute_brief_descriptors_quantized(
+            blurred, kps, angles, pattern, bin_weights, num_pairs, patch_size,
+            quantized_bins,
+        )
+    else:
+        descriptors = compute_brief_descriptors(
+            blurred, kps, angles, pattern, num_pairs, patch_size
+        )
     return kps._replace(angle=angles), descriptors

@@ -57,7 +57,8 @@ def parse_timestamps(path: Path) -> list[float]:
 class FrameStream:
     """Iterates grayscale uint8 frames from a directory or video file."""
 
-    def __init__(self, stream_path: str | Path, frame_skip: int = 0):
+    def __init__(self, stream_path: str | Path, frame_skip: int = 0,
+                 use_native: bool = True):
         import cv2  # host-only dependency, imported lazily
 
         self._cv2 = cv2
@@ -66,9 +67,19 @@ class FrameStream:
         self._files: list[Path] = []
         self._timestamps: list[float] = []
         self._vc = None
+        self._native = None
 
         if self.path.is_dir():
             self.is_directory = True
+            if use_native:
+                # Threaded C++ decoder (native/frameloader.cpp); falls back
+                # to cv2 when the shared library isn't built.
+                try:
+                    from tpuslam.pre.native_loader import NativeFrameLoader
+
+                    self._native = NativeFrameLoader(self.path)
+                except Exception:
+                    self._native = None
             self._files = sorted(
                 p for p in self.path.iterdir()
                 if p.is_file() and p.suffix.lower() in (".png", ".jpg", ".jpeg")
@@ -96,6 +107,8 @@ class FrameStream:
         """Decode frame ``index`` → (gray uint8 (H, W), timestamp seconds)."""
         cv2 = self._cv2
         if self.is_directory:
+            if self._native is not None:
+                return self._native.decode_batch(index, 1)[0], self._timestamps[index]
             img = cv2.imread(str(self._files[index]), cv2.IMREAD_GRAYSCALE)
             if img is None:
                 raise RuntimeError(f"Failed to read image from file: {self._files[index]}")
@@ -140,7 +153,12 @@ class FrameStream:
         def worker() -> None:
             try:
                 for chunk in chunks():
-                    frames, stamps = zip(*(self.read_frame(i) for i in chunk))
+                    if self._native is not None:
+                        arr = self._native.decode_indices(chunk)
+                        frames = tuple(arr)
+                        stamps = tuple(self._timestamps[i] for i in chunk)
+                    else:
+                        frames, stamps = zip(*(self.read_frame(i) for i in chunk))
                     n = len(frames)
                     if n < batch_size:
                         frames = frames + (frames[-1],) * (batch_size - n)
