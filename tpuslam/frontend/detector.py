@@ -25,7 +25,7 @@ from tpuslam.frontend.brief import (
     gaussian_kernel,
     generate_brief_pattern,
 )
-from tpuslam.frontend.fast import KeypointSet, detect_keypoints
+from tpuslam.frontend.fast import KeypointSet, detect_keypoints, select_keypoints
 
 
 class FeatureDetector:
@@ -45,6 +45,8 @@ class FeatureDetector:
                 self.pattern, config.patch_size, config.brief_quantized_bins
             )
             self.bin_weights = jnp.asarray(W)
+        # The fused Pallas blur+FAST kernel only lowers on real TPUs.
+        self.use_pallas = jax.default_backend() == "tpu"
 
     # --- detect ---------------------------------------------------------------
     def detect(self, image: jax.Array) -> KeypointSet:
@@ -78,13 +80,41 @@ class FeatureDetector:
         )
 
     def detect_and_compute(self, image: jax.Array) -> tuple[KeypointSet, jax.Array]:
+        """Fused path on TPU (one Pallas pass produces blur+FAST); XLA
+        reference path elsewhere (bit-identical, see test_pallas_frontend)."""
+        if self.use_pallas:
+            kps, desc = self.detect_and_compute_batch(image[None])
+            return jax.tree.map(lambda a: a[0], kps), desc[0]
         kps = self.detect(image)
         return self.compute(image, kps)
 
     # --- batched --------------------------------------------------------------
     def detect_and_compute_batch(self, images: jax.Array) -> tuple[KeypointSet, jax.Array]:
-        """vmap detect+compute over a (B, H, W) batch of frames."""
-        return jax.vmap(self.detect_and_compute)(images)
+        """Batched detect+compute over (B, H, W) frames."""
+        c = self.config
+        if self.use_pallas and images.shape[-2] >= 64 and images.shape[-1] >= 128:
+            from tpuslam.kernels.frontend_pallas import fused_frontend_batch
+
+            blur, corner, score = fused_frontend_batch(
+                images,
+                threshold=c.intensity_threshold,
+                contiguous=c.contiguous_pixels_threshold,
+            )
+            kps = jax.vmap(
+                lambda co, sc: select_keypoints(
+                    co, sc, nms=c.non_max_suppression,
+                    window=c.suppression_window_size, max_keypoints=c.max_keypoints,
+                )
+            )(corner, score)
+            return jax.vmap(
+                lambda bl, k: _compute_from_blurred(
+                    bl, k, self.pattern, self.bin_weights, c.num_brief_pairs,
+                    c.patch_size, c.brief_quantized_bins,
+                )
+            )(blur, kps)
+        return jax.vmap(lambda im: (lambda k: self.compute(im, k))(self.detect(im)))(
+            images
+        )
 
 
 @partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
@@ -99,6 +129,21 @@ def _compute_impl(
     quantized_bins: int,
 ) -> tuple[KeypointSet, jax.Array]:
     blurred = gaussian_blur_u8(image, blur_kernel)
+    return _compute_from_blurred(
+        blurred, kps, pattern, bin_weights, num_pairs, patch_size, quantized_bins
+    )
+
+
+@partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
+def _compute_from_blurred(
+    blurred: jax.Array,
+    kps: KeypointSet,
+    pattern: BriefPattern,
+    bin_weights: jax.Array | None,
+    num_pairs: int,
+    patch_size: int,
+    quantized_bins: int,
+) -> tuple[KeypointSet, jax.Array]:
     angles = compute_orientations(blurred, kps, patch_size)
     if quantized_bins > 0 and bin_weights is not None:
         descriptors = compute_brief_descriptors_quantized(

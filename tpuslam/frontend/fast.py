@@ -180,6 +180,34 @@ def local_max_nms(corner: jax.Array, score: jax.Array, window: int) -> jax.Array
     return corner & (key == pooled) & (key > 0)
 
 
+def select_keypoints(
+    corner: jax.Array,
+    score: jax.Array,
+    *,
+    nms: bool = True,
+    window: int = 12,
+    max_keypoints: int = 1024,
+) -> KeypointSet:
+    """NMS + top-k extraction from a corner mask and score map."""
+    if nms:
+        keep = local_max_nms(corner, score, window)
+    else:
+        keep = corner
+    h, w = corner.shape
+    key = _packed_key(score, keep)
+    top_keys, top_idx = jax.lax.top_k(key.reshape(-1), max_keypoints)
+    valid = top_keys > 0
+    y = (top_idx // w).astype(jnp.float32)
+    x = (top_idx % w).astype(jnp.float32)
+    resp = (top_keys >> _IDX_BITS).astype(jnp.float32)
+    return KeypointSet(
+        xy=jnp.where(valid[:, None], jnp.stack([x, y], axis=-1), 0.0),
+        response=jnp.where(valid, resp, 0.0),
+        angle=jnp.zeros(max_keypoints, dtype=jnp.float32),
+        valid=valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("threshold", "contiguous", "nms", "window", "max_keypoints"))
 def detect_keypoints(
     image: jax.Array,
@@ -192,20 +220,6 @@ def detect_keypoints(
 ) -> KeypointSet:
     """Full FAST detection → fixed-capacity KeypointSet (score-sorted)."""
     corner, score = fast_response_and_mask(image, threshold, contiguous)
-    if nms:
-        keep = local_max_nms(corner, score, window)
-    else:
-        keep = corner
-    h, w = image.shape
-    key = _packed_key(score, keep)
-    top_keys, top_idx = jax.lax.top_k(key.reshape(-1), max_keypoints)
-    valid = top_keys > 0
-    y = (top_idx // w).astype(jnp.float32)
-    x = (top_idx % w).astype(jnp.float32)
-    resp = (top_keys >> _IDX_BITS).astype(jnp.float32)
-    return KeypointSet(
-        xy=jnp.where(valid[:, None], jnp.stack([x, y], axis=-1), 0.0),
-        response=jnp.where(valid, resp, 0.0),
-        angle=jnp.zeros(max_keypoints, dtype=jnp.float32),
-        valid=valid,
+    return select_keypoints(
+        corner, score, nms=nms, window=window, max_keypoints=max_keypoints
     )

@@ -114,13 +114,16 @@ class SlamPipeline:
         )
 
     # --- the jitted chunk program ----------------------------------------------
-    def _frontend(self, frame: jax.Array) -> tuple[KeypointSet, jax.Array]:
+    def _frontend_batch(self, frames: jax.Array) -> tuple[KeypointSet, jax.Array]:
         from tpuslam.common.camera import undistort_image
 
-        und = undistort_image(
-            frame, self._undistort_idx, self._undistort_valid, normalize=False
-        )
-        return self.detector.detect_and_compute(und)
+        und = jax.vmap(
+            lambda f: undistort_image(
+                f, self._undistort_idx, self._undistort_valid, normalize=False
+            )
+        )(frames)
+        # batch-native call (the fused Pallas path cannot be vmapped)
+        return self.detector.detect_and_compute_batch(und)
 
     def _process_chunk(
         self,
@@ -135,7 +138,7 @@ class SlamPipeline:
         pcfg = self.config.pose
 
         # 1) frame-parallel frontend
-        kps, desc = jax.vmap(self._frontend)(frames)  # (B, K, ...), (B, K, D)
+        kps, desc = self._frontend_batch(frames)  # (B, K, ...), (B, K, D)
 
         # 2) consecutive pairs: (prev, f0), (f0, f1), ... (f_{B-2}, f_{B-1})
         kps_q = jax.tree.map(
