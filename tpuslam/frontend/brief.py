@@ -87,6 +87,10 @@ class BriefPattern(NamedTuple):
     p1: jax.Array  # (P, 2) int32 — first point offsets (x, y)
     p2: jax.Array  # (P, 2) int32 — second point offsets
     pair_valid: jax.Array  # (P,) bool — survived rejection sampling
+    # Static compaction permutation: slot b ← pair slot_to_pair[b]
+    # (the pattern-rejection "skip without advancing" as a fixed gather).
+    slot_to_pair: jax.Array  # (P,) int32 (clamped; see slot_used)
+    slot_used: jax.Array  # (P,) bool
 
 
 def generate_brief_pattern(
@@ -108,8 +112,17 @@ def generate_brief_pattern(
     ints = coords.astype(np.int32)  # C-style trunc toward zero
     p1 = np.where(keep[:, None], ints[:, 0:2], 0)
     p2 = np.where(keep[:, None], ints[:, 2:4], 0)
+    ranks = np.cumsum(keep) - 1
+    slot_to_pair = np.full(num_pairs, num_pairs, dtype=np.int32)
+    valid_j = np.nonzero(keep)[0]
+    slot_to_pair[ranks[valid_j]] = valid_j
+    slot_used = slot_to_pair < num_pairs
     return BriefPattern(
-        p1=jnp.asarray(p1), p2=jnp.asarray(p2), pair_valid=jnp.asarray(keep)
+        p1=jnp.asarray(p1),
+        p2=jnp.asarray(p2),
+        pair_valid=jnp.asarray(keep),
+        slot_to_pair=jnp.asarray(np.minimum(slot_to_pair, num_pairs - 1)),
+        slot_used=jnp.asarray(slot_used),
     )
 
 
@@ -332,18 +345,21 @@ def compute_brief_descriptors_quantized(
         (x1 >= 0) & (x1 < w) & (y1 >= 0) & (y1 < h)
         & (x2 >= 0) & (x2 < w) & (y2 >= 0) & (y2 < h)
     )
-    valid_pair = in_img & pattern.pair_valid[None, :]
-    bit_val = bit_val & valid_pair
+    bit_val = bit_val & in_img & pattern.pair_valid[None, :]
 
-    pos = jnp.cumsum(valid_pair.astype(jnp.int32), axis=1) - 1
-    in_range = valid_pair & (pos < desc_bits)
-    pos_safe = jnp.where(in_range, pos, desc_bits)
+    # Bit placement: the exact path compacts positions over the per-keypoint
+    # validity mask ("skip without advancing") with a scatter — expensive on
+    # TPU.  Pattern-rejection validity is identical for every keypoint, so
+    # its compaction is one STATIC permutation; only pairs leaving the image
+    # (keypoints within rotation_patch_half of the border) would shift later
+    # bits in the reference — here they contribute a 0 at their fixed slot
+    # instead (documented deviation of the quantised path; the exact path
+    # keeps reference semantics).
     bits = (
-        jnp.zeros((K, desc_bits), dtype=jnp.uint8)
-        .at[jnp.arange(K)[:, None], pos_safe]
-        .max(bit_val.astype(jnp.uint8), mode="drop")
-        .astype(bool)
-    )
+        jnp.take(bit_val, pattern.slot_to_pair, axis=1)
+        & pattern.slot_used[None, :]
+    )  # (K, desc_bits)
+
     radius = patch_size // 2
     ok = (
         (xi - radius >= 0) & (xi + radius < w) & (yi - radius >= 0)

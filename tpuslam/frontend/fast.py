@@ -169,11 +169,21 @@ def local_max_nms(corner: jax.Array, score: jax.Array, window: int) -> jax.Array
     """
     key = _packed_key(score, corner)
     half = max(window - 1, 0)
+    # The square-window max is separable: two 1-D passes do (2w-1)+(2w-1)
+    # comparisons per pixel instead of (2w-1)².
     pooled = jax.lax.reduce_window(
         key,
         jnp.uint32(0),
         jax.lax.max,
-        window_dimensions=(2 * half + 1, 2 * half + 1),
+        window_dimensions=(2 * half + 1, 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    pooled = jax.lax.reduce_window(
+        pooled,
+        jnp.uint32(0),
+        jax.lax.max,
+        window_dimensions=(1, 2 * half + 1),
         window_strides=(1, 1),
         padding="SAME",
     )

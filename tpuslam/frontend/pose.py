@@ -77,7 +77,7 @@ def _solve_e_from_rows(
     """
     if weights is not None:
         rows = rows * weights[..., None]
-    e = nullvec_jacobi(rows)  # (..., 9)
+    e = nullvec_jacobi(rows, sweeps=5)  # (..., 9)
     E = e.reshape(*e.shape[:-1], 3, 3)
     if not project:
         return E
