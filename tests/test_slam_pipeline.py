@@ -48,9 +48,12 @@ def test_pipeline_forward_motion(vo_result):
     """KITTI ego-motion: the camera drives forward (+z in camera frame)."""
     pos = vo_result["poses"][:, :3, 3]
     steps = np.diff(pos, axis=0)
-    # unit-scale monocular: every successful step has norm ≈ 1
+    # monocular scale propagation: the first step anchors the scale at 1;
+    # later steps recover relative scale from shared triangulated depths
+    # (this sequence is near-constant speed, so steps stay close to 1)
     norms = np.linalg.norm(steps, axis=1)
-    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    assert norms[0] == pytest.approx(1.0, abs=1e-3)
+    assert (norms > 0.6).all() and (norms < 1.6).all()
     # forward dominance: z-component of motion in the *camera* frame
     fwd = steps / norms[:, None]
     assert (fwd[:, 2] > 0.9).mean() > 0.8

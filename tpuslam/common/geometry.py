@@ -2,15 +2,12 @@
 
 The reference triangulates one point at a time with a 4×4 SVD
 (``common.hpp:201-221``) and solves PnP/essential decompositions with
-per-instance Jacobi SVDs.  Small SVDs are hostile to the TPU's MXU, so every
-solver here is reformulated as a *batched symmetric eigenproblem*: the
-smallest right singular vector of ``A`` equals the eigenvector of ``AᵀA``
-for its smallest eigenvalue, and ``jnp.linalg.eigh`` batches over thousands
-of instances in one compiled kernel.
-
-Rows of each DLT system are L2-normalised first — the nullspace is
-unchanged, but squaring the condition number (AᵀA) then stays safe in
-float32, which is what the TPU runs (the reference uses float64 CPU SVDs).
+per-instance LAPACK SVDs in float64.  Batched small SVD/eigh are hostile to
+the TPU (measured: eigh over 2048 9×9 ≈ 26 ms), so the nullspace solver here
+is a *batched one-sided Jacobi* working directly on the rows — no AᵀA
+squaring, float32-safe, with the Givens rotations applied as dynamic-slice
+column updates on the VPU (a Givens matmul pads tiny matrices onto the
+128×128 MXU).
 """
 
 from __future__ import annotations

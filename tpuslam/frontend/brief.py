@@ -16,11 +16,13 @@ Reference semantics (``src/frontend/feature_detector.cpp:205-364``):
     the bit index* (``:233-284``); keypoints within patch/2 of the border
     get an all-zero descriptor (``:242-245``).
 
-TPU-native restructuring: blur is one ``lax.conv``; orientation gathers all
-keypoint patches at once and reduces masked moments; the BRIEF "skip without
-advancing" compaction becomes a cumulative-sum of the validity mask feeding a
-one-hot scatter, so all 256 bits of all keypoints are produced by pure
-fixed-shape tensor ops under ``vmap``.
+TPU-native restructuring: blur is 25 shifted multiply-adds (also available
+fused with FAST in ``kernels/frontend_pallas.py``); orientation moments come
+from full-image prefix-sum maps; BRIEF has two paths — the *exact*
+continuous-angle path (per-keypoint patch lookups, reference-parity
+semantics) and the *quantised* MXU path (orientation binned, all bins × all
+pairs computed as one int8 matmul against a constant ±1 weight matrix, bit
+packing via a precomputed compaction permutation).
 """
 
 from __future__ import annotations

@@ -50,6 +50,10 @@ class VoState(NamedTuple):
     prev_exists: jax.Array  # () bool — false before the first frame
     pose: jax.Array  # (4, 4) float32 — T_world_cam of the last frame
     frame_idx: jax.Array  # () int32
+    # Monocular scale propagation: depths (global scale) of the last frame's
+    # keypoints from its pair triangulation, indexed by keypoint slot.
+    prev_depth: jax.Array  # (K,) float32
+    prev_depth_valid: jax.Array  # (K,) bool
 
 
 class ChunkResult(NamedTuple):
@@ -112,6 +116,8 @@ class SlamPipeline:
             prev_exists=jnp.asarray(False),
             pose=jnp.eye(4, dtype=jnp.float32),
             frame_idx=jnp.asarray(0, jnp.int32),
+            prev_depth=jnp.zeros((k,), jnp.float32),
+            prev_depth_valid=jnp.zeros((k,), bool),
         )
 
     # --- the jitted chunk program ----------------------------------------------
@@ -192,48 +198,85 @@ class SlamPipeline:
             pts1, pts2, mvalid, keys
         )
 
-        # 6) relative transforms; failures → identity (masked no-op gate)
-        T_rel = _invert_rt(res.R, res.t)  # (B, 4, 4) = T_prev_cur
+        # 6) per-pair triangulation (in the pair's first-camera frame), both
+        # for scale propagation and, with_features, for map points.
+        from tpuslam.frontend.pose import triangulate_matched_points
+
+        X_prev = jax.vmap(
+            lambda R, t, p1, p2: triangulate_matched_points(self._K, R, t, p1, p2)
+        )(res.R, res.t, pts1, pts2)  # (B, M, 3)
+        X_cur = (
+            jnp.einsum("bij,bmj->bmi", res.R, X_prev, precision="highest")
+            + res.t[:, None, :]
+        )
+        z_prev = X_prev[..., 2]
+        z_cur = X_cur[..., 2]
+        point_ok = (
+            res.inliers
+            & mvalid
+            & (z_prev > 0.5)
+            & (z_prev < 80.0)
+            & (z_cur > 0.5)
+            & res.success[:, None]
+        )
+
+        # 7) monocular scale propagation.  Each two-view pose has unit
+        # baseline; the true inter-frame scale is recovered from depths of
+        # keypoints shared between consecutive pairs: pair i re-triangulates
+        # (in its own unit) points pair i−1 saw, and the depth ratio is the
+        # scale change.  All ratios are robust medians computed in parallel;
+        # the cumulative product rescales each relative translation.
+        K_cap = kps.valid.shape[1]
+        q_idx = jnp.maximum(match.query_idx, 0)
+        t_idx = jnp.maximum(match.train_idx, 0)
+        # depths of frame i−1's keypoints as measured by pair i (raw units)
+        d_query = jnp.zeros((B, K_cap)).at[
+            jnp.arange(B)[:, None], jnp.where(point_ok, q_idx, K_cap)
+        ].max(jnp.where(point_ok, z_prev, 0.0), mode="drop")
+        # depths of frame i's keypoints as measured by pair i (raw units)
+        d_cur = jnp.zeros((B, K_cap)).at[
+            jnp.arange(B)[:, None], jnp.where(point_ok, t_idx, K_cap)
+        ].max(jnp.where(point_ok, z_cur, 0.0), mode="drop")
+        # reference depths for each pair's *query* frame: pair 0 compares
+        # against the carried (global-scale) map, pair i against d_cur[i-1].
+        d_ref = jnp.concatenate(
+            [jnp.where(state.prev_depth_valid, state.prev_depth, 0.0)[None], d_cur[:-1]],
+            axis=0,
+        )
+        common = (d_ref > 0) & (d_query > 0)
+        ratio_kp = jnp.where(common, d_ref / jnp.maximum(d_query, 1e-9), jnp.nan)
+        n_common = jnp.sum(common.astype(jnp.int32), axis=1)
+        ratios = jnp.nanmedian(ratio_kp, axis=1)
+        ratios = jnp.clip(jnp.nan_to_num(ratios, nan=1.0), 0.1, 10.0)
+        ratios = jnp.where((n_common >= 10) & res.success, ratios, 1.0)
+        cumscale = jnp.cumprod(ratios)  # (B,) global scale of each pair
+
+        # 8) relative transforms with scaled baselines; failures → identity
+        T_rel = _invert_rt(res.R, res.t * cumscale[:, None])  # T_prev_cur
         T_rel = jnp.where(res.success[:, None, None], T_rel, jnp.eye(4, dtype=T_rel.dtype))
 
-        # 7) global poses via associative scan (O(log B) matmul chain)
+        # 9) global poses via associative scan (O(log B) matmul chain)
         T_cum = jax.lax.associative_scan(jnp.matmul, T_rel)  # prefix products
         poses = state.pose[None] @ T_cum  # (B, 4, 4)
 
-        # 8) new carry: last *valid* frame's features; pose of last valid frame
+        # 10) new carry: last *valid* frame's features, pose, and depth map
         n_real = jnp.sum(frame_valid.astype(jnp.int32))
         last = jnp.maximum(n_real - 1, 0)
         new_kps = jax.tree.map(lambda a: a[last], kps)
+        carry_depth = d_cur[last] * cumscale[last]
         new_state = VoState(
             prev_kps=new_kps,
             prev_desc=desc[last],
             prev_exists=state.prev_exists | (n_real > 0),
             pose=poses[last],
             frame_idx=state.frame_idx + n_real,
+            prev_depth=jnp.where(res.success[last], carry_depth, state.prev_depth),
+            prev_depth_valid=jnp.where(
+                res.success[last], carry_depth > 0, state.prev_depth_valid
+            ),
         )
         extra = {}
         if with_features:
-            # Triangulate matched points per pair (in the pair's first-camera
-            # frame), then transform into the *current* camera: X₂ = R X₁ + t.
-            from tpuslam.frontend.pose import triangulate_matched_points
-
-            X_prev = jax.vmap(
-                lambda R, t, p1, p2: triangulate_matched_points(self._K, R, t, p1, p2)
-            )(res.R, res.t, pts1, pts2)  # (B, M, 3)
-            X_cur = (
-                jnp.einsum("bij,bmj->bmi", res.R, X_prev, precision="highest")
-                + res.t[:, None, :]
-            )
-            z_prev = X_prev[..., 2]
-            z_cur = X_cur[..., 2]
-            point_ok = (
-                res.inliers
-                & mvalid
-                & (z_prev > 0.5)
-                & (z_prev < 80.0)
-                & (z_cur > 0.5)
-                & res.success[:, None]
-            )
             extra = dict(
                 kps_xy=kps.xy,
                 kps_valid=kps.valid,
@@ -241,7 +284,8 @@ class SlamPipeline:
                 m_query=match.query_idx,
                 m_train=match.train_idx,
                 m_valid=mvalid,
-                points3d=X_cur,
+                # map points in the current camera frame, global scale
+                points3d=X_cur * cumscale[:, None, None],
                 point_ok=point_ok,
             )
         result = ChunkResult(
