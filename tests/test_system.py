@@ -74,3 +74,43 @@ def test_system_no_false_loops(result):
 def test_system_stats(result):
     assert result["pose_ok"][1:].all()
     assert (result["num_inliers"][1:] > 30).all()
+
+
+@pytest.fixture(scope="module")
+def loop_sequence_dir(tmp_path_factory, data_dir):
+    """An out-and-back sequence: frames 0..9 then 8..0 — ends where it began."""
+    import cv2
+
+    src = sorted((data_dir / "images").glob("*.png"))
+    d = tmp_path_factory.mktemp("loopseq")
+    order = list(range(10)) + list(range(8, -1, -1))
+    lines = []
+    for i, idx in enumerate(order):
+        img = cv2.imread(str(src[idx]), cv2.IMREAD_GRAYSCALE)
+        cv2.imwrite(str(d / f"{i:06d}.png"), img)
+        lines.append(f"2011-09-26 13:02:{25 + i // 10}.{i % 10}00000000")
+    (d / "timestamps.txt").write_text("\n".join(lines) + "\n")
+    return d
+
+
+def test_system_loop_detection_and_pose_graph(system, loop_sequence_dir):
+    stream = FrameStream(loop_sequence_dir)
+    result = system.run(stream.batches(5))
+    assert result["poses"].shape == (19, 4, 4)
+    # the sequence returns to its start: a loop should fire on a late
+    # keyframe against an early one
+    assert len(result["loops"]) >= 1, "no loop closures detected"
+    lp = result["loops"][-1]
+    assert lp["frame_id"] >= 12
+    assert lp["matched_keyframe_id"] <= 6
+    assert result["pose_graph_applied"]
+    # after correction the trajectory must come back near the start
+    pos = result["poses"][:, :3, 3]
+    out_dist = np.linalg.norm(pos).max()
+    end_dist = np.linalg.norm(pos[-1] - pos[0])
+    assert end_dist < 0.35 * np.linalg.norm(pos[9] - pos[0]), (
+        f"end {end_dist:.2f} vs farthest {np.linalg.norm(pos[9] - pos[0]):.2f}"
+    )
+    R = result["poses"][:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (19, 1, 1)), atol=1e-3)

@@ -174,9 +174,14 @@ class LoopClosure:
         masked = jnp.where(eligible, scores, -jnp.inf)
         best_slot = jnp.argmax(masked)
         max_score = masked[best_slot]
-        second = jnp.where(
-            jnp.arange(db.capacity) == best_slot, -jnp.inf, masked
-        ).max()
+        # Second-best over keyframes *away from the best candidate*: the
+        # reference compares against the raw runner-up (loop_closure.cpp:
+        # 137-141), which on self-similar sequences is the true loop's own
+        # neighbour — rejecting every correct loop.  Grouping by id distance
+        # keeps the gate's intent (reject matches ambiguous across distinct
+        # places) without punishing neighbours of the true match.
+        near_best = jnp.abs(db.ids - db.ids[best_slot]) < cfg.min_frames_difference
+        second = jnp.where(eligible & ~near_best, scores, -jnp.inf).max()
         second = jnp.maximum(second, 0.0)  # reference seeds secondMax at 0.0
 
         db_big_enough = db.count >= cfg.min_db_size

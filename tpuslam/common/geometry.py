@@ -228,10 +228,20 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Log map (..., 3, 3) → (..., 3) rotation vectors (principal branch)."""
+    """Log map (..., 3, 3) → (..., 3) rotation vectors (principal branch).
+
+    Autodiff-safe at the identity: ``arccos`` has an infinite derivative at
+    cos θ = 1, which is exactly where pose-graph/BA residuals linearise, so
+    the small-angle branch switches on the *input* (Taylor scale
+    0.5 + (1 − cos θ)/6) before arccos ever sees a value near 1.
+    Angles near π are clamped (not reached by incremental SLAM edges).
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0 + 1e-7, 1.0)
+    small = cos_theta > 1.0 - 1e-6
+    cos_safe = jnp.where(small, 0.0, cos_theta)
+    theta = jnp.arccos(cos_safe)
+    sin_safe = jnp.sqrt(jnp.maximum(1.0 - cos_safe * cos_safe, 1e-12))
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -240,9 +250,8 @@ def so3_log(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
     scale = jnp.where(
-        jnp.abs(sin_theta) < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_theta + 1e-30)
+        small, 0.5 + (1.0 - cos_theta) / 6.0, theta / (2.0 * sin_safe)
     )
     return w * scale[..., None]
 

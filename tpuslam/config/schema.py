@@ -141,7 +141,8 @@ class LoopClosureConfig:
     min_db_size: int = 2
     min_frames_difference: int = 2
     min_absolute_score: float = 0.005
-    relative_score_factor: float = 1.5
+    # Re-baselined for cosine BoW scores (reference fbow default was 1.5).
+    relative_score_factor: float = 1.1
     min_matches_for_pnp: int = 20
     min_inliers_for_pnp: int = 5
     ransac_max_iterations: int = 100

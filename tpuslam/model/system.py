@@ -17,9 +17,10 @@ Visualizer as commented-out members).  Concretely:
     (``backend.hpp:13-17``): instead of a mutex-guarded shared map, the
     optimized window is folded back into the trajectory;
   * **loop closure** — BoW detection + PnP verification per keyframe
-    (:mod:`tpuslam.backend.loop_closure`); detected loops are reported in
-    the results (pose-graph correction is future work — the reference has
-    no integration at all to compare against).
+    (:mod:`tpuslam.backend.loop_closure`); detected loop constraints are
+    folded back into the trajectory by pose-graph optimisation
+    (:mod:`tpuslam.backend.pose_graph`) — capability the reference only
+    gestured at (it computes LoopResult transforms and drops them).
 """
 
 from __future__ import annotations
@@ -58,6 +59,7 @@ class SlamSystem:
     max_map_points: int = 8192
     enable_loop_closure: bool = True
     enable_ba: bool = True
+    enable_pose_graph: bool = True
 
     def __post_init__(self) -> None:
         self.pipeline = SlamPipeline(self.camera, self.config)
@@ -91,7 +93,7 @@ class SlamSystem:
         stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
         frame_id = 0
         kf_since_ba = 0
-        kf_slot_to_traj: dict[int, int] = {}
+        kf_fids: list[int] = []
 
         for frames, _stamps, valid in frame_batches:
             key, sub = jax.random.split(key)
@@ -119,7 +121,7 @@ class SlamSystem:
                     jnp.swapaxes(T_w[:3, :3], 0, 1),  # world→cam R = Rᵀ
                     -jnp.swapaxes(T_w[:3, :3], 0, 1) @ T_w[:3, 3],
                 )
-                kf_slot_to_traj[int(kf_slot)] = len(poses) * 0 + fid
+                kf_fids.append(fid)
                 ok = result.point_ok[b]
                 X_cur = result.points3d[b]
                 X_world = (
@@ -196,13 +198,65 @@ class SlamSystem:
             frame_id += n
 
         all_poses = np.concatenate(poses) if poses else np.zeros((0, 4, 4))
+        pose_graph_applied = False
+        if self.enable_pose_graph and loops and len(kf_fids) >= 2:
+            all_poses = self._apply_pose_graph(all_poses, kf_fids, loops)
+            pose_graph_applied = True
         return {
             "poses": all_poses,
             "loops": loops,
             "ba_events": ba_events,
             "map": world_map,
+            "pose_graph_applied": pose_graph_applied,
             **{k: np.concatenate(v) if v else np.zeros((0,)) for k, v in stats.items()},
         }
+
+    def _apply_pose_graph(
+        self, all_poses: np.ndarray, kf_fids: list[int], loops: list[dict]
+    ) -> np.ndarray:
+        """Optimise keyframe nodes with loop edges; propagate corrections.
+
+        Every frame between keyframe k and k+1 inherits keyframe k's rigid
+        correction: T_f ← T_k_opt · (T_k_orig⁻¹ · T_f_orig).
+        """
+        from tpuslam.backend.pose_graph import (
+            add_edge,
+            graph_from_trajectory,
+            optimize_pose_graph,
+        )
+
+        fid_to_node = {fid: n for n, fid in enumerate(kf_fids)}
+        kf_poses = jnp.asarray(all_poses[np.asarray(kf_fids)], jnp.float32)
+        n_edges = len(kf_fids) - 1 + len(loops)
+        g = graph_from_trajectory(kf_poses, max_edges=max(2 * n_edges, 8))
+        slot = len(kf_fids) - 1
+        n_loop_edges = 0
+        for lp in loops:
+            cand = fid_to_node.get(lp["matched_keyframe_id"])
+            query = fid_to_node.get(lp["frame_id"])
+            if cand is None or query is None or cand == query:
+                continue
+            # PnP gives x_query = R·X_cand + t ⇒ T_camc_camq = [R|t]⁻¹.
+            T = np.asarray(lp["relative_transform"], np.float64)
+            T_rel = np.linalg.inv(T)
+            g = add_edge(g, slot, cand, query, jnp.asarray(T_rel, jnp.float32),
+                         weight=10.0)
+            slot += 1
+            n_loop_edges += 1
+        if n_loop_edges == 0:
+            return all_poses
+        out = optimize_pose_graph(g, iterations=12)
+        kf_opt = np.asarray(out.nodes[: len(kf_fids)], np.float64)
+
+        corrected = all_poses.copy()
+        kf_arr = np.asarray(kf_fids)
+        for n, fid in enumerate(kf_fids):
+            end = kf_fids[n + 1] if n + 1 < len(kf_fids) else len(all_poses)
+            corr = kf_opt[n] @ np.linalg.inv(all_poses[fid])
+            for f in range(fid, end):
+                corrected[f] = corr @ all_poses[f]
+        # frames before the first keyframe keep their original poses
+        return corrected
 
     @staticmethod
     def _apply_ba_poses(world_map, poses: list[np.ndarray]) -> None:
