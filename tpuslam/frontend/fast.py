@@ -34,7 +34,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Bresenham circle offsets as (dx, dy), index 0 at 12 o'clock, clockwise —
 # the same table as reference feature_detector.hpp:138-153.
@@ -73,24 +72,6 @@ def _neighbor_planes(image_i32: jax.Array) -> jax.Array:
         jnp.roll(image_i32, shift=(-dy, -dx), axis=(0, 1)) for (dx, dy) in CIRCLE_OFFSETS
     ]
     return jnp.stack(planes, axis=0)
-
-
-def _circular_run_at_least(mask: jax.Array, run: int) -> jax.Array:
-    """True where the 16-long circular boolean sequence (axis 0) contains a
-    run of ≥ ``run`` consecutive True values."""
-    if run <= 0:
-        return jnp.ones(mask.shape[1:], dtype=bool)
-    if run > 16:
-        return jnp.zeros(mask.shape[1:], dtype=bool)
-    acc = mask
-    # Doubling trick: acc_k[s] = AND of `length` consecutive entries from s.
-    length = 1
-    while length * 2 <= run:
-        acc = jnp.logical_and(acc, jnp.roll(acc, -length, axis=0))
-        length *= 2
-    if length < run:
-        acc = jnp.logical_and(acc, jnp.roll(mask_run(mask, run - length), -length, axis=0))
-    return jnp.any(acc, axis=0)
 
 
 def mask_run(mask: jax.Array, run: int) -> jax.Array:

@@ -18,7 +18,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -27,31 +26,6 @@ from tpuslam.frontend.fast import CIRCLE_OFFSETS
 
 HALO = 8  # covers FAST radius 3 + blur radius 2; keeps DMA slices 8-row aligned
 BLOCK_H = 64
-
-
-def _mask_run_inkernel(mask: jax.Array, run: int) -> jax.Array:
-    """AND of ``run`` consecutive circular entries (axis 0, length 16).
-
-    The circular shift is a static concatenate re-index (Mosaic's rotate op
-    does not support 1-bit vectors).
-    """
-    n = mask.shape[0]
-
-    def rollneg(x, s):
-        s = s % n
-        if s == 0:
-            return x
-        return jnp.concatenate([x[s:], x[:s]], axis=0)
-
-    acc = mask
-    length = 1
-    while length * 2 <= run:
-        acc = jnp.logical_and(acc, rollneg(acc, length))
-        length *= 2
-    while length < run:
-        acc = jnp.logical_and(acc, rollneg(mask, length))
-        length += 1
-    return acc
 
 
 def _frontend_kernel(

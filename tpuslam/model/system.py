@@ -25,7 +25,7 @@ Visualizer as commented-out members).  Concretely:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator
 
