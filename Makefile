@@ -1,0 +1,30 @@
+# Developer driver (the reference ships a Makefile with release/test/format
+# targets, Makefile:7-37; these are the TPU-framework equivalents).
+
+PY ?= python
+
+.PHONY: test test-fast bench native vocab dryrun clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not system and not pipeline"
+
+bench:
+	$(PY) bench.py
+
+native:
+	$(MAKE) -C native
+
+vocab:
+	JAX_PLATFORMS=cpu $(PY) tools/train_vocabulary.py -o configs/vocabulary.npz \
+		tests/data/images tests/data/images_test_loop2 tests/data/test_images
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+		$(PY) __graft_entry__.py 8
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

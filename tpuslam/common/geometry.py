@@ -93,7 +93,8 @@ def _normalize_rows(a: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 
 def triangulate_homogeneous(
-    P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array
+    P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Array,
+    sweeps: int = 8,
 ) -> jax.Array:
     """Batched two-view DLT triangulation → homogeneous 4-vectors.
 
@@ -123,7 +124,7 @@ def triangulate_homogeneous(
     # Column equilibration keeps the Jacobi rotations balanced; the nullspace
     # direction is recovered by unscaling (v = S v').
     col_norm = jnp.maximum(jnp.linalg.norm(A, axis=-2, keepdims=True), 1e-12)
-    v = nullvec_jacobi(A / col_norm)
+    v = nullvec_jacobi(A / col_norm, sweeps=sweeps)
     v = v / col_norm[..., 0, :]
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 

@@ -150,8 +150,10 @@ def cheirality_votes(
     """
     P1 = jnp.concatenate([jnp.eye(3, dtype=Rs.dtype), jnp.zeros((3, 1), Rs.dtype)], axis=1)
     P2 = jnp.concatenate([Rs, ts[..., :, None]], axis=-1)  # (4, 3, 4)
+    # Only the z-signs matter for the vote; 4 Jacobi sweeps are plenty.
     Xh = triangulate_homogeneous(
-        P1, P2, jnp.broadcast_to(x1, (4, *x1.shape)), jnp.broadcast_to(x2, (4, *x2.shape))
+        P1, P2, jnp.broadcast_to(x1, (4, *x1.shape)),
+        jnp.broadcast_to(x2, (4, *x2.shape)), sweeps=4,
     )  # (4, N, 4)
     w = Xh[..., 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
