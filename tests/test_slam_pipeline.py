@@ -136,3 +136,34 @@ def test_stream_batches_padding(data_dir):
     frames, ts, valid = batches[-1]
     assert frames.shape[0] == 4
     assert valid.tolist() == [True, True, False, False]
+
+
+def test_stream_video_mode(data_dir, tmp_path):
+    """Video files stream through cv2.VideoCapture (reference video mode,
+    preprocessor.cpp:84-93)."""
+    import cv2
+
+    src = sorted((data_dir / "images").glob("*.png"))
+    path = str(tmp_path / "seq.avi")
+    first = cv2.imread(str(src[0]), cv2.IMREAD_GRAYSCALE)
+    h, w = first.shape
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (w, h))
+    assert vw.isOpened()
+    for p in src:
+        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        vw.write(cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    stream = FrameStream(path)
+    assert not stream.is_directory
+    assert stream.total_frames == 10
+    frames = list(stream)
+    assert len(frames) == 10
+    f0, t0 = frames[0]
+    assert f0.shape == (h, w) and f0.dtype == np.uint8
+    # MJPG is lossy; content must still resemble the source frame
+    ref = cv2.imread(str(src[0]), cv2.IMREAD_GRAYSCALE)
+    assert np.abs(f0.astype(int) - ref.astype(int)).mean() < 4.0
+    # batches work for video too
+    b = list(stream.batches(4))
+    assert len(b) == 3 and b[0][0].shape == (4, h, w)
