@@ -3,6 +3,7 @@ on CPU; the real TPU lowering is exercised by bench/pipeline drives)."""
 
 import jax
 import jax.numpy as jnp
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -52,3 +53,112 @@ def test_fused_fast_matches_xla(crop, fused_out):
     np.testing.assert_array_equal(
         np.asarray(score_k)[ys, xs], np.asarray(score)[ys, xs]
     )
+
+
+class TestBriefPallas:
+    """The patch-extraction + own-bin-dots kernels vs the XLA quantised path
+    (interpret mode on CPU; bit-exactness on the real TPU is exercised by the
+    pipeline drives and was verified at parity during development)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, kitti_frames):
+        import numpy as np
+
+        from tpuslam.frontend.brief import (
+            build_brief_bin_weights,
+            compute_brief_descriptors_quantized,
+            compute_orientations,
+            disc_moment_weights,
+            gaussian_blur_u8,
+            gaussian_kernel,
+            generate_brief_pattern,
+        )
+        from tpuslam.frontend.fast import KeypointSet
+
+        rng = np.random.default_rng(3)
+        crop = np.stack(
+            [kitti_frames[0][60:188, 300:556], kitti_frames[1][60:188, 300:556]]
+        )  # (2, 128, 256)
+        B, H, W = crop.shape
+        K, bins, pairs, patch = 32, 8, 32, 31
+        xy = np.stack(
+            [rng.integers(0, W, (B, K)), rng.integers(0, H, (B, K))], axis=-1
+        ).astype(np.float32)
+        kps = KeypointSet(
+            xy=jnp.asarray(xy),
+            response=jnp.ones((B, K), jnp.float32),
+            angle=jnp.zeros((B, K), jnp.float32),
+            valid=jnp.asarray(rng.random((B, K)) > 0.2),
+        )
+        pattern = generate_brief_pattern(pairs, patch)
+        W2, _ = build_brief_bin_weights(pattern, patch, bins)
+        blur = jax.vmap(
+            lambda im: gaussian_blur_u8(jnp.asarray(im), jnp.asarray(gaussian_kernel()))
+        )(jnp.asarray(crop))
+        angles = jax.vmap(lambda bl, k: compute_orientations(bl, k, patch))(
+            blur, kps
+        )
+        desc_ref = jax.vmap(
+            lambda bl, k, a: compute_brief_descriptors_quantized(
+                bl, k, a, pattern, jnp.asarray(W2), pairs, patch, bins
+            )
+        )(blur, kps, angles)
+        return dict(
+            crop=crop, blur=blur, kps=kps, pattern=pattern, W2=W2,
+            angles=angles, desc_ref=desc_ref, K=K, bins=bins, pairs=pairs,
+            patch=patch,
+        )
+
+    def test_extract_patches_kernel_matches_xla(self, setup):
+        from tpuslam.frontend.brief import extract_brief_patches_i8
+        from tpuslam.kernels.brief_pallas import extract_brief_patches_tpu
+
+        want = jax.vmap(
+            lambda bl, k: extract_brief_patches_i8(bl, k, setup["patch"])
+        )(setup["blur"], setup["kps"])
+        got = extract_brief_patches_tpu(
+            setup["blur"], setup["kps"].xy, setup["patch"], interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_compute_matches_quantized_xla(self, setup):
+        import numpy as np
+
+        from tpuslam.frontend.brief import (
+            brief_bits_from_dots,
+            extract_brief_patches_i8,
+            disc_moment_weights,
+            orientations_from_patches,
+            quantize_angles,
+        )
+        from tpuslam.kernels.brief_pallas import brief_own_bin_dots
+
+        patch, bins, pairs = setup["patch"], setup["bins"], setup["pairs"]
+        blur, kps = setup["blur"], setup["kps"]
+        h, w = blur.shape[-2:]
+        mom_w = jnp.asarray(disc_moment_weights(patch))
+        patches = jax.vmap(
+            lambda bl, k: extract_brief_patches_i8(bl, k, patch)
+        )(blur, kps)
+        angles = jax.vmap(
+            lambda p, k: orientations_from_patches(p, mom_w, k, patch, (h, w))
+        )(patches, kps)
+        # patch-moment orientation is integer-exact ⇒ equals the map-based one
+        v = np.asarray(kps.valid)
+        np.testing.assert_allclose(
+            np.asarray(angles)[v], np.asarray(setup["angles"])[v], atol=2e-4
+        )
+        s2p = patches.shape[-1]
+        W3 = jnp.asarray(
+            setup["W2"].reshape(s2p, bins, pairs).transpose(1, 0, 2).copy()
+        )
+        bin_idx = quantize_angles(angles, bins)
+        own = brief_own_bin_dots(patches, bin_idx, W3, interpret=True)
+        desc = jax.vmap(
+            lambda o, bi, k: brief_bits_from_dots(
+                o, bi, k, setup["pattern"], bins, pairs, patch, (h, w)
+            )
+        )(own, bin_idx, kps)
+        np.testing.assert_array_equal(
+            np.asarray(desc), np.asarray(setup["desc_ref"])
+        )

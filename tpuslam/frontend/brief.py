@@ -228,6 +228,112 @@ def compute_orientations(
     return jnp.where(in_bounds & kps.valid, angle, 0.0).astype(jnp.float32)
 
 
+def patch_side(patch_size: int) -> int:
+    """Rotation-patch side rounded up to the 8-sublane tile.
+
+    The logical patch is (2·half+1)² (=45² at patch 31); extraction works in
+    8-row-aligned units, so patches carry up to 7 extra rows/cols of slack
+    on the bottom/right (weight matrices are zero there).
+    """
+    return -(-(2 * rotation_patch_half(patch_size) + 1) // 8) * 8
+
+
+def padded_patch_len(patch_size: int) -> int:
+    """Flattened rotation-patch length rounded up to the 128-lane tile."""
+    s = patch_side(patch_size)
+    return -(-(s * s) // 128) * 128
+
+
+def disc_moment_weights(patch_size: int) -> np.ndarray:
+    """(S2p, 2) int8 disc weights for patch-local orientation moments.
+
+    Column 0 carries the m01 (v) weights, column 1 the m10 (u) weights, over
+    the disc u² + v² ≤ (patch/2)² laid out in flattened rotation-patch
+    coordinates.  Because the disc is symmetric (Σu = Σv = 0), the moments of
+    −128-shifted int8 patches equal the moments of the raw intensities
+    exactly — so orientation is one tiny int8 MXU matmul over patches the
+    BRIEF path extracts anyway, replacing the full-image prefix-sum moment
+    maps (~1.7 ms/frame) in the hot path.
+    """
+    half = rotation_patch_half(patch_size)
+    r = patch_size // 2
+    S = patch_side(patch_size)
+    W = np.zeros((padded_patch_len(patch_size), 2), dtype=np.int8)
+    for v in range(-r, r + 1):
+        for u in range(-r, r + 1):
+            if u * u + v * v <= r * r:
+                idx = (v + half) * S + (u + half)
+                W[idx, 0] = v
+                W[idx, 1] = u
+    return W
+
+
+def extract_brief_patches_i8(
+    image_blurred: jax.Array, kps: KeypointSet, patch_size: int
+) -> jax.Array:
+    """(K, S2p) int8 flattened patches centred on each keypoint.
+
+    The image is zero-padded by the rotation-patch half-width so patches are
+    always centred; intensities are shifted by −128 into int8 (MXU input;
+    the BRIEF comparison and the disc moments are shift-invariant).  The
+    patch row stride is ``patch_side`` (8-aligned, matching the Pallas
+    extraction kernel); rows past side² are zero padding to the lane tile.
+    """
+    half = rotation_patch_half(patch_size)
+    S = patch_side(patch_size)
+    h, w = image_blurred.shape
+    padded = jnp.pad(image_blurred, ((half, S - half - 1), (half, S - half - 1)))
+    xi = jnp.clip(kps.xy[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(kps.xy[..., 1].astype(jnp.int32), 0, h - 1)
+
+    def one(sy_i, sx_i):
+        return jax.lax.dynamic_slice(padded, (sy_i, sx_i), (S, S))
+
+    patches = jax.vmap(one)(yi, xi)  # (K, S, S) uint8, top-left at centre−half
+    flat = (patches.astype(jnp.int16) - 128).astype(jnp.int8).reshape(-1, S * S)
+    return jnp.pad(flat, ((0, 0), (0, padded_patch_len(patch_size) - S * S)))
+
+
+def orientations_from_patches(
+    patches_i8: jax.Array,
+    moment_weights: jax.Array,
+    kps: KeypointSet,
+    patch_size: int,
+    image_shape: tuple[int, int],
+) -> jax.Array:
+    """Intensity-centroid angles (degrees) from pre-extracted patches.
+
+    Integer-exact equivalent of :func:`compute_orientations` (the disc sums
+    are int32, not float32 accumulations): moments are one (K, S2p) ·
+    (S2p, 2) int8 matmul.  Border keypoints (disc clipped) get angle 0, the
+    reference rule (``feature_detector.cpp:210-214``).
+    """
+    h, w = image_shape
+    m = jax.lax.dot_general(
+        patches_i8,
+        moment_weights,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (K, 2) — columns (m01, m10)
+    m01 = m[:, 0].astype(jnp.float32)
+    m10 = m[:, 1].astype(jnp.float32)
+    radius = patch_size // 2
+    xi = kps.xy[..., 0].astype(jnp.int32)
+    yi = kps.xy[..., 1].astype(jnp.int32)
+    in_bounds = (
+        (xi - radius >= 0) & (xi + radius < w) & (yi - radius >= 0) & (yi + radius < h)
+    )
+    angle = jnp.arctan2(m01, m10) * (180.0 / jnp.pi)
+    return jnp.where(in_bounds & kps.valid, angle, 0.0).astype(jnp.float32)
+
+
+def quantize_angles(angles_deg: jax.Array, bins: int) -> jax.Array:
+    """Angle (degrees) → orientation bin over the full circle."""
+    theta = jnp.deg2rad(angles_deg)
+    frac = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
+    return jnp.clip((frac * bins + 0.5).astype(jnp.int32) % bins, 0, bins - 1)
+
+
 def build_brief_bin_weights(
     pattern: BriefPattern, patch_size: int, bins: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -236,21 +342,22 @@ def build_brief_bin_weights(
     For each orientation bin b and pair j, the comparison
     ``I(p2) − I(p1)`` over a flattened (S, S) patch centred on the keypoint
     is a dot product with a 2-nonzero ±1 vector.  Stacking all bins × pairs
-    gives W (S², bins·P) int8, so all descriptors of a frame are one
-    ``patches @ W`` int8 matmul — the MXU eats the 1000× nominal redundancy
-    for breakfast while random gathers cost ~10 ms/frame.
+    gives W (S2p, bins·P) int8 (rows padded to the 128-lane tile), so all
+    descriptors of a frame are one ``patches @ W`` int8 matmul — the MXU
+    eats the 1000× nominal redundancy for breakfast while random gathers
+    cost ~10 ms/frame.
 
     Returns (W, in_patch (bins, P) validity) — pairs whose *quantised*
     rotation stays inside the patch (always true by construction, kept for
     safety).
     """
     half = rotation_patch_half(patch_size)
-    S = 2 * half + 1
+    S = patch_side(patch_size)
     p1 = np.asarray(pattern.p1)
     p2 = np.asarray(pattern.p2)
     pv = np.asarray(pattern.pair_valid)
     P = p1.shape[0]
-    W = np.zeros((S * S, bins * P), dtype=np.int8)
+    W = np.zeros((padded_patch_len(patch_size), bins * P), dtype=np.int8)
     ok = np.zeros((bins, P), dtype=bool)
     for b in range(bins):
         a = 2.0 * np.pi * b / bins
@@ -274,62 +381,37 @@ def build_brief_bin_weights(
     return W, ok
 
 
-def compute_brief_descriptors_quantized(
-    image_blurred: jax.Array,
+def brief_bits_from_dots(
+    own: jax.Array,
+    bin_idx: jax.Array,
     kps: KeypointSet,
-    angles_deg: jax.Array,
     pattern: BriefPattern,
-    bin_weights: jax.Array,
+    bins: int,
     num_pairs: int,
     patch_size: int,
-    bins: int,
+    image_shape: tuple[int, int],
 ) -> jax.Array:
-    """Steered BRIEF with orientation quantised to ``bins`` (MXU path).
+    """Own-bin comparison dots → packed descriptor bytes (quantised path).
 
-    Behaviourally equivalent to :func:`compute_brief_descriptors` up to the
-    angle quantisation (≤ 180/bins degrees — finer than ORB's classic 30
-    bins at bins ≥ 64); used by the throughput pipeline, while the exact
-    continuous-angle path remains the parity/golden-test reference.
+    ``own``: (K, P) int32 ``I(p2) − I(p1)`` dots of each keypoint's own
+    orientation bin.  Applies in-image validity from the quantised rotation,
+    the static pattern-compaction permutation, the border rule, and LSB-first
+    byte packing.  Shared epilogue of the XLA one-hot and Pallas paths.
+
+    Bit placement: the exact path compacts positions over the per-keypoint
+    validity mask ("skip without advancing") with a scatter — expensive on
+    TPU.  Pattern-rejection validity is identical for every keypoint, so
+    its compaction is one STATIC permutation; only pairs leaving the image
+    (keypoints within rotation_patch_half of the border) would shift later
+    bits in the reference — here they contribute a 0 at their fixed slot
+    instead (documented deviation of the quantised path; the exact path
+    keeps reference semantics).
     """
-    h, w = image_blurred.shape
-    desc_bits = num_pairs
+    h, w = image_shape
     n_bytes = num_pairs // 8
-    half = rotation_patch_half(patch_size)
-    S = 2 * half + 1
-    P = pattern.p1.shape[0]
     K = kps.xy.shape[0]
-
-    # Quantise angles to bins over the full circle.
-    theta = jnp.deg2rad(angles_deg)
-    frac = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
-    bin_idx = jnp.clip((frac * bins + 0.5).astype(jnp.int32) % bins, 0, bins - 1)
-
-    # Zero-padded image → patches always centred, no border clamping.
-    padded = jnp.pad(image_blurred, half)
     xi = kps.xy[..., 0].astype(jnp.int32)
     yi = kps.xy[..., 1].astype(jnp.int32)
-
-    def one(sy_i, sx_i):
-        return jax.lax.dynamic_slice(padded, (sy_i, sx_i), (S, S))
-
-    patches = jax.vmap(one)(jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
-    # uint8 → int8 shift (comparison is shift-invariant; int8 feeds the MXU)
-    patches_i8 = (patches.astype(jnp.int16) - 128).astype(jnp.int8)
-    dots = jax.lax.dot_general(
-        patches_i8.reshape(K, S * S),
-        bin_weights,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (K, bins*P)
-
-    # Select each keypoint's own bin via a one-hot masked reduction — one
-    # fused read of the dots tensor.  (Per-row dynamic_slice costs ~2.4
-    # ms/frame and take_along_axis ~7.5 ms/frame on TPU; boolean
-    # intermediates at (K, bins, P) add two extra 0.5 GB passes.)
-    onehot = jax.nn.one_hot(bin_idx, bins, dtype=jnp.int32)
-    own = jnp.sum(
-        dots.reshape(K, bins, P) * onehot[:, :, None], axis=1
-    )  # (K, P)
     bit_val = own > 0
 
     # In-image validity from the *quantised* rotation (consistent with bits).
@@ -352,14 +434,6 @@ def compute_brief_descriptors_quantized(
     )
     bit_val = bit_val & in_img & pattern.pair_valid[None, :]
 
-    # Bit placement: the exact path compacts positions over the per-keypoint
-    # validity mask ("skip without advancing") with a scatter — expensive on
-    # TPU.  Pattern-rejection validity is identical for every keypoint, so
-    # its compaction is one STATIC permutation; only pairs leaving the image
-    # (keypoints within rotation_patch_half of the border) would shift later
-    # bits in the reference — here they contribute a 0 at their fixed slot
-    # instead (documented deviation of the quantised path; the exact path
-    # keeps reference semantics).
     bits = (
         jnp.take(bit_val, pattern.slot_to_pair, axis=1)
         & pattern.slot_used[None, :]
@@ -376,6 +450,53 @@ def compute_brief_descriptors_quantized(
         bits.reshape(K, n_bytes, 8).astype(jnp.uint8) * weights[None, None, :],
         axis=-1,
         dtype=jnp.uint8,
+    )
+
+
+def compute_brief_descriptors_quantized(
+    image_blurred: jax.Array,
+    kps: KeypointSet,
+    angles_deg: jax.Array,
+    pattern: BriefPattern,
+    bin_weights: jax.Array,
+    num_pairs: int,
+    patch_size: int,
+    bins: int,
+) -> jax.Array:
+    """Steered BRIEF with orientation quantised to ``bins`` (MXU path).
+
+    Behaviourally equivalent to :func:`compute_brief_descriptors` up to the
+    angle quantisation (≤ 180/bins degrees — finer than ORB's classic 30
+    bins at bins ≥ 64).  This XLA formulation materialises the full
+    (K, bins·P) dot tensor and one-hot-selects each keypoint's bin; the
+    throughput pipeline uses the Pallas kernel
+    (``kernels/brief_pallas.py``) which keeps the reduction on-chip — both
+    share :func:`brief_bits_from_dots`, and the exact continuous-angle path
+    remains the parity/golden-test reference.
+    """
+    h, w = image_blurred.shape
+    P = pattern.p1.shape[0]
+    K = kps.xy.shape[0]
+
+    bin_idx = quantize_angles(angles_deg, bins)
+    patches_flat = extract_brief_patches_i8(image_blurred, kps, patch_size)
+    dots = jax.lax.dot_general(
+        patches_flat,
+        bin_weights,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (K, bins*P)
+
+    # Select each keypoint's own bin via a one-hot masked reduction — one
+    # fused read of the dots tensor.  (Per-row dynamic_slice costs ~2.4
+    # ms/frame and take_along_axis ~7.5 ms/frame on TPU; boolean
+    # intermediates at (K, bins, P) add two extra 0.5 GB passes.)
+    onehot = jax.nn.one_hot(bin_idx, bins, dtype=jnp.int32)
+    own = jnp.sum(
+        dots.reshape(K, bins, P) * onehot[:, :, None], axis=1
+    )  # (K, P)
+    return brief_bits_from_dots(
+        own, bin_idx, kps, pattern, bins, num_pairs, patch_size, (h, w)
     )
 
 

@@ -17,13 +17,18 @@ import jax.numpy as jnp
 from tpuslam.config.schema import DetectorConfig
 from tpuslam.frontend.brief import (
     BriefPattern,
+    brief_bits_from_dots,
     build_brief_bin_weights,
     compute_brief_descriptors,
     compute_brief_descriptors_quantized,
     compute_orientations,
+    disc_moment_weights,
+    extract_brief_patches_i8,
     gaussian_blur_u8,
     gaussian_kernel,
     generate_brief_pattern,
+    orientations_from_patches,
+    quantize_angles,
 )
 from tpuslam.frontend.fast import KeypointSet, detect_keypoints, select_keypoints
 
@@ -40,12 +45,20 @@ class FeatureDetector:
         )
         self.blur_kernel = jnp.asarray(gaussian_kernel())
         self.bin_weights = None
+        self.bin_weights_3d = None
         if config.brief_quantized_bins > 0:
             W, _ = build_brief_bin_weights(
                 self.pattern, config.patch_size, config.brief_quantized_bins
             )
             self.bin_weights = jnp.asarray(W)
-        # The fused Pallas blur+FAST kernel only lowers on real TPUs.
+            # (bins, S2p, P) layout for the Pallas own-bin kernel.
+            bins = config.brief_quantized_bins
+            s2p = W.shape[0]
+            self.bin_weights_3d = jnp.asarray(
+                W.reshape(s2p, bins, -1).transpose(1, 0, 2).copy()
+            )
+        self.moment_weights = jnp.asarray(disc_moment_weights(config.patch_size))
+        # The fused Pallas kernels only lower on real TPUs.
         self.use_pallas = jax.default_backend() == "tpu"
 
     # --- detect ---------------------------------------------------------------
@@ -106,6 +119,12 @@ class FeatureDetector:
                     window=c.suppression_window_size, max_keypoints=c.max_keypoints,
                 )
             )(corner, score)
+            if c.brief_quantized_bins > 0:
+                return _compute_batch_fused(
+                    blur, kps, self.pattern, self.bin_weights_3d,
+                    self.moment_weights, c.num_brief_pairs, c.patch_size,
+                    c.brief_quantized_bins,
+                )
             return jax.vmap(
                 lambda bl, k: _compute_from_blurred(
                     bl, k, self.pattern, self.bin_weights, c.num_brief_pairs,
@@ -132,6 +151,47 @@ def _compute_impl(
     return _compute_from_blurred(
         blurred, kps, pattern, bin_weights, num_pairs, patch_size, quantized_bins
     )
+
+
+@partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
+def _compute_batch_fused(
+    blurred: jax.Array,  # (B, H, W) uint8
+    kps: KeypointSet,  # (B, K, ...) batched
+    pattern: BriefPattern,
+    bin_weights_3d: jax.Array,  # (bins, S2p, P) int8
+    moment_weights: jax.Array,  # (S2p, 2) int8
+    num_pairs: int,
+    patch_size: int,
+    quantized_bins: int,
+) -> tuple[KeypointSet, jax.Array]:
+    """Batched orientation + quantised BRIEF sharing one patch extraction.
+
+    The TPU throughput path: patches are extracted once per keypoint,
+    orientation moments are a (K, S2p)·(S2p, 2) int8 matmul over them, and
+    the own-bin comparison dots come from the Pallas kernel that never
+    materialises the (K, bins·P) tensor (``kernels/brief_pallas.py``).
+    Bit-exact with the per-frame XLA quantised path (see test_brief).
+    """
+    from tpuslam.kernels.brief_pallas import (
+        brief_own_bin_dots,
+        extract_brief_patches_tpu,
+    )
+
+    h, w = blurred.shape[-2:]
+    patches = extract_brief_patches_tpu(blurred, kps.xy, patch_size)
+    angles = jax.vmap(
+        lambda p, k: orientations_from_patches(
+            p, moment_weights, k, patch_size, (h, w)
+        )
+    )(patches, kps)  # (B, K)
+    bin_idx = quantize_angles(angles, quantized_bins)  # (B, K)
+    own = brief_own_bin_dots(patches, bin_idx, bin_weights_3d)  # (B, K, P)
+    desc = jax.vmap(
+        lambda o, bi, k: brief_bits_from_dots(
+            o, bi, k, pattern, quantized_bins, num_pairs, patch_size, (h, w)
+        )
+    )(own, bin_idx, kps)
+    return kps._replace(angle=angles), desc
 
 
 @partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
