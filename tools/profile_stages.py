@@ -10,7 +10,6 @@ where the next kernel goes; results land in BASELINE.md.
 from __future__ import annotations
 
 import sys
-import time
 from functools import partial
 from pathlib import Path
 
@@ -29,14 +28,11 @@ from tpuslam.model.slam import SlamPipeline
 from tpuslam.pre.stream import FrameStream
 
 
-def timeit(fn, *args, n=20, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+from tools.microbench import chained_timeit, repeat_timeit
+
+
+def timeit(fn, *args, n=None):
+    return repeat_timeit(fn, *args, reps=24, n=1)
 
 
 def main() -> None:
@@ -207,7 +203,7 @@ def main() -> None:
     state = pipeline.initial_state()
     valid = jnp.ones(batch, bool)
     key = jax.random.PRNGKey(0)
-    t = timeit(lambda f: pipeline._chunk_fn(f, valid, state, key), frames, n=10)
+    t = chained_timeit(lambda f: pipeline._chunk_fn(f, valid, state, key)[0].poses, frames, n=8)
     print(f"full chunk           {t * ms:8.3f} ms/frame  ({batch / t:.1f} FPS)")
 
 

@@ -8,9 +8,11 @@ Visualizer as commented-out members).  Concretely:
   * **tracking** — the batched VO pipeline (:mod:`tpuslam.model.slam`),
     which also triangulates per-pair map points on device;
   * **map** — the fixed-shape sliding window of
-    :mod:`tpuslam.backend.map`, fed with world-frame points and two-view
-    observations (each triangulated point is observed in both frames of its
-    pair, which is what makes windowed BA well-posed);
+    :mod:`tpuslam.backend.map`, updated once per chunk
+    (``update_map_chunk``): landmark identity is chained through every
+    frame's match indices, so keyframes *re-observe* persistent landmarks
+    and points accumulate multi-view observations — which is what makes
+    windowed BA well-posed;
   * **backend** — sliding-window bundle adjustment
     (:mod:`tpuslam.backend.ba`) run every ``ba_interval`` keyframes, the
     functional equivalent of the reference's declared optimizer thread
@@ -35,12 +37,7 @@ import numpy as np
 
 from tpuslam.backend.ba import bundle_adjust
 from tpuslam.backend.loop_closure import LoopClosure
-from tpuslam.backend.map import (
-    add_observations,
-    empty_map,
-    insert_keyframe,
-    insert_points,
-)
+from tpuslam.backend.map import empty_assoc, empty_map, update_map_chunk
 from tpuslam.backend.vocabulary import Vocabulary
 from tpuslam.common.camera import Camera
 from tpuslam.config.schema import SlamConfig
@@ -52,7 +49,7 @@ class SlamSystem:
     camera: Camera
     config: SlamConfig
     vocabulary: Vocabulary | str | Path | None = None
-    keyframe_interval: int = 2
+    keyframe_interval: int = 1
     ba_window: int = 8
     ba_interval: int = 4
     ba_iterations: int = 8
@@ -78,6 +75,7 @@ class SlamSystem:
         state = self.pipeline.initial_state()
         key = jax.random.PRNGKey(seed)
         world_map = empty_map(self.ba_window, self.max_map_points)
+        assoc = empty_assoc(self.config.detector.max_keypoints)
         db = (
             self.loop_closure.new_db(
                 self.config.detector.max_keypoints,
@@ -107,32 +105,36 @@ class SlamSystem:
             stats["num_inliers"].append(np.asarray(result.num_inliers)[:n])
             stats["pose_ok"].append(np.asarray(result.pose_ok)[:n])
 
+            # ---- map: keyframes + landmarks + associations, one dispatch ----
+            B = result.poses.shape[0]
+            fids_full = np.arange(frame_id, frame_id + B, dtype=np.int32)
+            kf_mask = (fids_full % self.keyframe_interval == 0) & (
+                np.arange(B) < n
+            )
+            world_map, assoc = update_map_chunk(
+                world_map,
+                assoc,
+                self._K,
+                jnp.asarray(fids_full),
+                jnp.asarray(kf_mask),
+                result.poses,
+                result.pose_ok,
+                result.kps_xy,
+                result.m_query,
+                result.m_train,
+                result.m_valid,
+                result.points3d,
+                result.point_ok,
+            )
+            pose_ok_np = np.asarray(result.pose_ok)
+
             for b in range(n):
                 fid = frame_id + b
-                if fid % self.keyframe_interval != 0:
+                if not kf_mask[b]:
                     continue
-                if not bool(result.pose_ok[b]) and fid > 0:
+                if not bool(pose_ok_np[b]) and fid > 0:
                     continue
-                # ---- keyframe: map insertion + observations -----------------
-                T_w = result.poses[b]  # (4, 4) T_world_cam
-                world_map, kf_slot = insert_keyframe(
-                    world_map,
-                    fid,
-                    jnp.swapaxes(T_w[:3, :3], 0, 1),  # world→cam R = Rᵀ
-                    -jnp.swapaxes(T_w[:3, :3], 0, 1) @ T_w[:3, 3],
-                )
                 kf_fids.append(fid)
-                ok = result.point_ok[b]
-                X_cur = result.points3d[b]
-                X_world = (
-                    jnp.einsum("ij,mj->mi", T_w[:3, :3], X_cur, precision="highest")
-                    + T_w[:3, 3][None, :]
-                )
-                world_map, pslots = insert_points(world_map, X_world, ok)
-                # observation in the current keyframe at the train keypoints
-                t_idx = jnp.maximum(result.m_train[b], 0)
-                uv_cur = result.kps_xy[b][t_idx]
-                world_map = add_observations(world_map, kf_slot, pslots, uv_cur, ok)
                 kf_since_ba += 1
 
                 # ---- loop closure -------------------------------------------
@@ -158,7 +160,8 @@ class SlamSystem:
                             }
                         )
                     # map points for the DB live in the keyframe camera frame
-                    mp_cam = X_cur
+                    ok = result.point_ok[b]
+                    t_idx = jnp.maximum(result.m_train[b], 0)
                     mp_valid_kp = (
                         jnp.zeros(result.kps_valid.shape[1], bool)
                         .at[t_idx]
@@ -167,7 +170,7 @@ class SlamSystem:
                     mp_per_kp = (
                         jnp.zeros((result.kps_valid.shape[1], 3))
                         .at[t_idx]
-                        .set(jnp.where(ok[:, None], mp_cam, 0.0))
+                        .set(jnp.where(ok[:, None], result.points3d[b], 0.0))
                     )
                     db = self.loop_closure.add_keyframe(
                         db,
