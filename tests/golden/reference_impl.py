@@ -208,3 +208,118 @@ def match_hamming(
         if good and best_j != -1:
             out.append((i, best_j, float(best)))
     return out
+
+
+# --------------------------------------------------------------------------
+# Two-view pose: reference numerics (float64, OpenCV RANSAC essential)
+# --------------------------------------------------------------------------
+
+
+def decompose_essential_ref(E: np.ndarray):
+    """E → (R1, R2, t), reference ``simple_pose_recover.cpp:6-18``.
+
+    float64 SVD; rotations det-corrected by negating R (not U); t = U[:, 2].
+    """
+    u, _, vt = np.linalg.svd(E.astype(np.float64))
+    W = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = u @ W @ vt
+    R2 = u @ W.T @ vt
+    if np.linalg.det(R1) < 0:
+        R1 = -R1
+    if np.linalg.det(R2) < 0:
+        R2 = -R2
+    return R1, R2, u[:, 2]
+
+
+def simple_recover_pose_ref(
+    E: np.ndarray,
+    pts1_norm: np.ndarray,
+    pts2_norm: np.ndarray,
+    K: np.ndarray,
+    emulate_k_quirk: bool = False,
+):
+    """Cheirality-voted pose recovery, reference ``simple_pose_recover.cpp:35-97``.
+
+    The per-point 4×4 DLT SVDs (``triangulateSimple``, ``:21-32``) are
+    batched with ``np.linalg.svd`` (identical LAPACK results).
+
+    The reference applies K to the *already-normalised* points (``:61-65``).
+    Measured on the KITTI fixtures, that quirk makes the vote degenerate —
+    every point votes for one arbitrary candidate (e.g. [0, 53, 0, 0] where
+    the intended-geometry vote is [0, 3, 0, 50]) and the translation sign
+    flips from pair to pair.  The reference's own test would not catch this
+    (it only warns below a 75% front-of-camera ratio, which the degenerate
+    vote trivially exceeds).  The oracle therefore defaults to the
+    *intended* numerics (identity K in the vote, matching
+    ``cv::recoverPose``); pass ``emulate_k_quirk=True`` to reproduce the
+    reference verbatim.
+    """
+    R1, R2, t = decompose_essential_ref(E)
+    if not emulate_k_quirk:
+        K = np.eye(3)
+    P0 = np.eye(3, 4)
+    Ps = [
+        np.hstack([R1, t[:, None]]),
+        np.hstack([R2, t[:, None]]),
+        np.hstack([R1, -t[:, None]]),
+        np.hstack([R2, -t[:, None]]),
+    ]
+    KP0 = K @ P0
+    KPs = np.stack([K @ P for P in Ps])  # (4, 3, 4)
+
+    x1, y1 = pts1_norm[:, 0], pts1_norm[:, 1]  # (M,)
+    x2, y2 = pts2_norm[:, 0], pts2_norm[:, 1]
+    rows01 = np.stack(
+        [
+            x1[:, None] * KP0[2] - KP0[0],
+            y1[:, None] * KP0[2] - KP0[1],
+        ],
+        axis=1,
+    )  # (M, 2, 4)
+    best, max_front = 0, -1
+    for i in range(4):
+        rows23 = np.stack(
+            [
+                x2[:, None] * KPs[i][2] - KPs[i][0],
+                y2[:, None] * KPs[i][2] - KPs[i][1],
+            ],
+            axis=1,
+        )
+        A = np.concatenate([rows01, rows23], axis=1)  # (M, 4, 4)
+        _, _, vt = np.linalg.svd(A)
+        X = vt[:, 3, :]  # (M, 4)
+        X = X / X[:, 3:4]
+        z1 = X[:, 2]
+        z2 = X @ KPs[i][2]
+        front = int(((z1 > 0) & (z2 > 0)).sum())
+        if front > max_front:
+            max_front = front
+            best = i
+    Rb = [R1, R2, R1, R2][best]
+    tb = t if best < 2 else -t
+    return Rb, tb
+
+
+def estimate_pose_ref(pts1: np.ndarray, pts2: np.ndarray, K: np.ndarray):
+    """Reference two-view pose flow (``pose_estimator.cpp:18-67``).
+
+    ``cv::findEssentialMat(..., RANSAC)`` with OpenCV defaults (0.999
+    confidence, 1.0 px threshold), K-normalisation, then
+    ``simpleRecoverPose``.  Returns (R, t) with ``x2 ~ R x1 + t`` in
+    camera-2 coordinates, or None on the reference's silent-return gates
+    (< 8 matches / empty E).
+    """
+    import cv2
+
+    if len(pts1) < 8:
+        return None
+    E, _ = cv2.findEssentialMat(
+        pts1.astype(np.float64), pts2.astype(np.float64), K, cv2.RANSAC
+    )
+    if E is None or E.shape != (3, 3):
+        return None
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    n1 = np.stack([(pts1[:, 0] - cx) / fx, (pts1[:, 1] - cy) / fy], axis=1)
+    n2 = np.stack([(pts2[:, 0] - cx) / fx, (pts2[:, 1] - cy) / fy], axis=1)
+    return simple_recover_pose_ref(E, n1, n2, K)
