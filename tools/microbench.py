@@ -30,7 +30,11 @@ def _zero_scalar_from(out) -> jax.Array:
         a for a in jax.tree.leaves(out) if isinstance(a, jax.Array) and a.size
     )
     flat = jnp.ravel(leaf)[0]
-    return (flat * 0).astype(jnp.float32) * 0.0
+    # Convert to float BEFORE multiplying by zero: `int_value * 0` is
+    # constant-folded by XLA (which then dead-code-eliminates the entire
+    # kernel being timed), while `float_value * 0.0` cannot be folded
+    # (NaN/Inf semantics), so the data dependency survives compilation.
+    return flat.astype(jnp.float32) * 0.0
 
 
 def _perturb(args: tuple, eps: jax.Array) -> tuple:

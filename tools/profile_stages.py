@@ -1,15 +1,26 @@
 #!/usr/bin/env python
 """Per-stage timing of the VO pipeline on the current backend.
 
-Each stage is jitted in isolation and timed at steady state over the same
+Each stage of the *real* pipeline path (the same functions
+``SlamPipeline._process_chunk`` composes) is timed at steady state over the
 batch-16 KITTI fixture chunk the headline benchmark uses, so stage costs add
-up to (roughly) the per-chunk cost of the fused pipeline.  Used to decide
-where the next kernel goes; results land in BASELINE.md.
+up to (roughly) the per-chunk cost of the fused pipeline.  Results land in
+BASELINE.md and decide where the next kernel goes.
+
+Timing methodology (``honest``): every dispatch gets a distinct traced
+``salt`` scalar folded into a *numeric input* and reduces its outputs to one
+float32 scalar.  Distinct inputs defeat the axon client's (executable,
+buffers) result cache; the float reduction defeats XLA dead-code
+elimination (float ``x*0`` folding is the trap the previous harness fell
+into — integer outputs were constant-folded and entire kernels DCE'd,
+reporting 0.77 ms for a 0.01 ms stage).  N pipelined dispatches amortise
+the tunnel round trip.
 """
 
 from __future__ import annotations
 
 import sys
+import time
 from functools import partial
 from pathlib import Path
 
@@ -27,43 +38,62 @@ from tpuslam.frontend.pose import estimate_relative_pose
 from tpuslam.model.slam import SlamPipeline
 from tpuslam.pre.stream import FrameStream
 
+BATCH = 16
+N_REPS = 30
 
-from tools.microbench import chained_timeit, repeat_timeit
+
+def _to_scalar(out) -> jax.Array:
+    leaves = [a for a in jax.tree.leaves(out) if isinstance(a, jax.Array)]
+    acc = jnp.float32(0.0)
+    for a in leaves:
+        acc = acc + jnp.sum(a.astype(jnp.float32))
+    return acc
 
 
-def timeit(fn, *args, n=None):
-    return repeat_timeit(fn, *args, reps=24, n=1)
+def honest(tag: str, fn, *args, salted: int = 0, n: int = N_REPS) -> None:
+    """Print steady-state ms/frame of ``fn(*args)``.
+
+    ``salted``: index of the positional arg to perturb per dispatch (must be
+    a numeric jax array; the salt is added elementwise, wrapping for uint8).
+    """
+
+    @jax.jit
+    def run(salt, *a):
+        a = list(a)
+        a[salted] = a[salted] + salt.astype(a[salted].dtype)
+        return _to_scalar(fn(*a))
+
+    r = run(jnp.int32(0), *args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for i in range(n):
+        r = run(jnp.int32(i % 3), *args)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{tag:26s}{dt * 1e3 / BATCH:8.3f} ms/frame")
 
 
 def main() -> None:
-    batch = 16
     camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
-    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=batch)
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
     pipeline = SlamPipeline(camera, config)
     det = pipeline.detector
+    c = det.config
 
     stream = FrameStream(REPO_ROOT / "tests" / "data" / "images")
     base = [stream.read_frame(i)[0] for i in range(stream.total_frames)]
-    frames = jnp.asarray(
-        np.stack([base[i % len(base)] for i in range(batch)])
-    )
+    frames = jnp.asarray(np.stack([base[i % len(base)] for i in range(BATCH)]))
 
-    ms = 1e3 / batch  # per-frame milliseconds from per-chunk seconds
-
-    # undistort
-    und_fn = jax.jit(
-        jax.vmap(
-            lambda f: undistort_image(
-                f, pipeline._undistort_idx, pipeline._undistort_valid, normalize=False
-            )
+    # --- stage 1: undistort -------------------------------------------------
+    und_fn = jax.vmap(
+        lambda f: undistort_image(
+            f, pipeline._undistort_idx, pipeline._undistort_valid, normalize=False
         )
     )
-    t = timeit(und_fn, frames)
-    print(f"undistort            {t * ms:8.3f} ms/frame")
-    und = und_fn(frames)
+    honest("undistort", und_fn, frames)
+    und = jax.jit(und_fn)(frames)
 
-    # fused blur+FAST+score (pallas) or XLA fallback
-    c = det.config
+    # --- stage 2: blur + FAST corner/score ----------------------------------
     if det.use_pallas:
         from tpuslam.kernels.frontend_pallas import fused_frontend_batch
 
@@ -72,139 +102,114 @@ def main() -> None:
             threshold=c.intensity_threshold,
             contiguous=c.contiguous_pixels_threshold,
         )
-        t = timeit(ff, und)
-        print(f"blur+FAST (pallas)   {t * ms:8.3f} ms/frame")
-        blur, corner, score = ff(und)
+        honest("blur+FAST (pallas)", ff, und)
+        blur, corner, score = jax.jit(ff)(und)
     else:
         from tpuslam.frontend.brief import gaussian_blur_u8
         from tpuslam.frontend.fast import fast_response_and_mask
 
         blur = jax.jit(jax.vmap(lambda im: gaussian_blur_u8(im, det.blur_kernel)))(und)
-        corner, score = jax.jit(
-            jax.vmap(
-                partial(
-                    fast_response_and_mask,
-                    threshold=c.intensity_threshold,
-                    contiguous=c.contiguous_pixels_threshold,
-                )
+        fr = jax.vmap(
+            partial(
+                fast_response_and_mask,
+                threshold=c.intensity_threshold,
+                contiguous=c.contiguous_pixels_threshold,
             )
-        )(und)
+        )
+        honest("blur+FAST (xla)", fr, und)
+        corner, score = jax.jit(fr)(und)
 
-    # NMS + topk select
+    # --- stage 3: NMS + top-k select ----------------------------------------
     from tpuslam.frontend.fast import select_keypoints
 
-    sel = jax.jit(
-        jax.vmap(
-            lambda co, sc: select_keypoints(
-                co,
-                sc,
-                nms=c.non_max_suppression,
-                window=c.suppression_window_size,
-                max_keypoints=c.max_keypoints,
-            )
+    sel = jax.vmap(
+        lambda co, sc: select_keypoints(
+            co, sc, nms=c.non_max_suppression,
+            window=c.suppression_window_size, max_keypoints=c.max_keypoints,
         )
     )
-    t = timeit(sel, corner, score)
-    print(f"NMS+topk             {t * ms:8.3f} ms/frame")
-    kps = sel(corner, score)
+    honest("NMS+topk", sel, corner, score, salted=1)
+    kps = jax.jit(sel)(corner, score)
 
-    # orientation
-    from tpuslam.frontend.brief import compute_orientations
+    # --- stage 4: orientation + BRIEF (the real fused path) ------------------
+    if det.use_pallas and c.brief_quantized_bins > 0:
+        from tpuslam.frontend.detector import _compute_batch_fused
 
-    orient = jax.jit(
-        jax.vmap(lambda bl, k: compute_orientations(bl, k, c.patch_size))
-    )
-    t = timeit(orient, blur, kps)
-    print(f"orientation          {t * ms:8.3f} ms/frame")
-    angles = orient(blur, kps)
+        cb = partial(
+            _compute_batch_fused,
+            pattern=det.pattern,
+            bin_weights_3d=det.bin_weights_3d,
+            moment_weights=det.moment_weights,
+            num_pairs=c.num_brief_pairs,
+            patch_size=c.patch_size,
+            quantized_bins=c.brief_quantized_bins,
+        )
+        honest("orient+BRIEF (fused)", lambda b, k: cb(b, k), blur, kps)
+        _, desc = jax.jit(lambda b, k: cb(b, k))(blur, kps)
+    else:
+        from tpuslam.frontend.detector import _compute_from_blurred
 
-    # BRIEF (quantized MXU path)
-    from tpuslam.frontend.brief import compute_brief_descriptors_quantized
-
-    brief = jax.jit(
-        jax.vmap(
-            lambda bl, k, a: compute_brief_descriptors_quantized(
-                bl,
-                k,
-                a,
-                det.pattern,
-                det.bin_weights,
-                c.num_brief_pairs,
-                c.patch_size,
-                c.brief_quantized_bins,
+        cfb = jax.vmap(
+            lambda bl, k: _compute_from_blurred(
+                bl, k, det.pattern, det.bin_weights, c.num_brief_pairs,
+                c.patch_size, c.brief_quantized_bins,
             )
         )
-    )
-    t = timeit(brief, blur, kps, angles)
-    print(f"BRIEF (quantized)    {t * ms:8.3f} ms/frame")
-    desc = brief(blur, kps, angles)
+        honest("orient+BRIEF (xla)", cfb, blur, kps)
+        _, desc = jax.jit(cfb)(blur, kps)
 
-    # matcher (consecutive pairs within the chunk)
+    # --- stage 5: matcher (consecutive pairs within the chunk) ----------------
     mcfg = config.matcher
     desc_q = jnp.concatenate([desc[:1], desc[:-1]], axis=0)
-    match_fn = jax.jit(
-        jax.vmap(
-            lambda d1, d2, k1v, k2v, k1x, k2x: match_descriptors(
-                d1,
-                d2,
-                k1v,
-                k2v,
-                k1x,
-                k2x,
-                ratio_threshold=mcfg.ratio_test_threshold,
-                max_jump_radius=mcfg.max_jump_radius,
-                use_ratio_test=mcfg.use_ratio_test,
-                filter_matches=False,
-                use_spatial_penalty=True,
-            )
+    match_fn = jax.vmap(
+        lambda d1, d2, k1v, k2v, k1x, k2x: match_descriptors(
+            d1, d2, k1v, k2v, k1x, k2x,
+            ratio_threshold=mcfg.ratio_test_threshold,
+            max_jump_radius=mcfg.max_jump_radius,
+            use_ratio_test=mcfg.use_ratio_test,
+            filter_matches=False,
+            use_spatial_penalty=True,
         )
     )
-    t = timeit(match_fn, desc_q, desc, kps.valid, kps.valid, kps.xy, kps.xy)
-    print(f"match                {t * ms:8.3f} ms/frame")
-    match = match_fn(desc_q, desc, kps.valid, kps.valid, kps.xy, kps.xy)
+    honest("match", match_fn, desc_q, desc, kps.valid, kps.valid, kps.xy, kps.xy, salted=4)
+    match = jax.jit(match_fn)(desc_q, desc, kps.valid, kps.valid, kps.xy, kps.xy)
 
-    # pose RANSAC
+    # --- stage 6: pose RANSAC -------------------------------------------------
     pcfg = config.pose
     q = jnp.maximum(match.query_idx, 0)
     tr = jnp.maximum(match.train_idx, 0)
     pts1 = jnp.take_along_axis(kps.xy, q[..., None], axis=1)
     pts2 = jnp.take_along_axis(kps.xy, tr[..., None], axis=1)
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     K = pipeline._K
-    pose_fn = jax.jit(
-        jax.vmap(
-            lambda p1, p2, v, k: estimate_relative_pose(
-                p1,
-                p2,
-                v,
-                K,
-                k,
-                num_hypotheses=pcfg.num_hypotheses,
-                sample_size=pcfg.sample_size,
-                inlier_threshold_px=pcfg.inlier_threshold_px,
-                min_matches=pcfg.min_matches,
-            )
+    pose_fn = jax.vmap(
+        lambda p1, p2, v, k: estimate_relative_pose(
+            p1, p2, v, K, k,
+            num_hypotheses=pcfg.num_hypotheses,
+            sample_size=pcfg.sample_size,
+            inlier_threshold_px=pcfg.inlier_threshold_px,
+            min_matches=pcfg.min_matches,
         )
     )
-    t = timeit(pose_fn, pts1, pts2, match.valid, keys)
-    print(f"pose RANSAC          {t * ms:8.3f} ms/frame")
-    res = pose_fn(pts1, pts2, match.valid, keys)
+    honest("pose RANSAC", pose_fn, pts1, pts2, match.valid, keys)
+    res = jax.jit(pose_fn)(pts1, pts2, match.valid, keys)
 
-    # triangulation (as used for scale propagation)
+    # --- stage 7: triangulation ----------------------------------------------
     from tpuslam.frontend.pose import triangulate_matched_points
 
-    tri = jax.jit(
-        jax.vmap(lambda R, t_, p1, p2: triangulate_matched_points(K, R, t_, p1, p2))
-    )
-    t = timeit(tri, res.R, res.t, pts1, pts2)
-    print(f"triangulation        {t * ms:8.3f} ms/frame")
+    tri = jax.vmap(lambda R, t_, p1, p2: triangulate_matched_points(K, R, t_, p1, p2))
+    honest("triangulation", tri, res.R, res.t, pts1, pts2, salted=2)
 
-    # full chunk program for comparison
+    # --- full chunk program for comparison -------------------------------------
     state = pipeline.initial_state()
-    valid = jnp.ones(batch, bool)
+    valid = jnp.ones(BATCH, bool)
     key = jax.random.PRNGKey(0)
-    t = chained_timeit(lambda f: pipeline._chunk_fn(f, valid, state, key)[0].poses, frames, n=8)
-    print(f"full chunk           {t * ms:8.3f} ms/frame  ({batch / t:.1f} FPS)")
+
+    def full(fr, st, k):
+        result, st2 = pipeline._process_chunk(fr, valid, st, k)
+        return result.poses
+
+    honest("full chunk", full, frames, state, key)
 
 
 if __name__ == "__main__":

@@ -179,14 +179,44 @@ def select_keypoints(
     window: int = 12,
     max_keypoints: int = 1024,
 ) -> KeypointSet:
-    """NMS + top-k extraction from a corner mask and score map."""
+    """NMS + top-k extraction from a corner mask and score map.
+
+    When NMS is on, the top-k runs over per-tile maxima instead of every
+    pixel — *exactly*, not approximately: two NMS survivors within Chebyshev
+    distance ``window − 1`` would suppress each other (keys are unique), so
+    each ``window``-sized tile holds at most one survivor, and that
+    survivor's key is its tile max (every tile cell is within its
+    suppression radius).  This shrinks the top-k from H·W candidates to
+    ⌈H/window⌉·⌈W/window⌉ (~143× fewer at 1392×512/12) with bit-identical
+    results; positions are recovered from the packed raster index.
+    """
     if nms:
         keep = local_max_nms(corner, score, window)
     else:
         keep = corner
     h, w = corner.shape
+    n = h * w
     key = _packed_key(score, keep)
-    top_keys, top_idx = jax.lax.top_k(key.reshape(-1), max_keypoints)
+    tile = window
+    n_tiles = -(-h // tile) * (-(-w // tile))
+    # Exact index recovery out of the packed key needs an unshifted index
+    # (images ≤ 2^20 px); tiny images fall back to the flat path.
+    if nms and tile >= 2 and n <= (1 << _IDX_BITS) and n_tiles >= max_keypoints:
+        pooled = jax.lax.reduce_window(
+            key, jnp.uint32(0), jax.lax.max,
+            window_dimensions=(tile, 1), window_strides=(tile, 1),
+            padding=(((0, (-h) % tile), (0, 0))),
+        )
+        pooled = jax.lax.reduce_window(
+            pooled, jnp.uint32(0), jax.lax.max,
+            window_dimensions=(1, tile), window_strides=(1, tile),
+            padding=(((0, 0), (0, (-w) % tile))),
+        )
+        top_keys, _ = jax.lax.top_k(pooled.reshape(-1), max_keypoints)
+        inv_idx = top_keys & jnp.uint32((1 << _IDX_BITS) - 1)
+        top_idx = (jnp.uint32(n - 1) - inv_idx).astype(jnp.int32)
+    else:
+        top_keys, top_idx = jax.lax.top_k(key.reshape(-1), max_keypoints)
     valid = top_keys > 0
     y = (top_idx // w).astype(jnp.float32)
     x = (top_idx % w).astype(jnp.float32)

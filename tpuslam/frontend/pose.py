@@ -164,7 +164,10 @@ def cheirality_votes(
     return jnp.sum(front.astype(jnp.int32), axis=-1)  # (4,)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "min_matches"))
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "sample_size", "min_matches", "use_pallas"),
+)
 def estimate_relative_pose(
     pts1: jax.Array,
     pts2: jax.Array,
@@ -176,6 +179,7 @@ def estimate_relative_pose(
     sample_size: int = 8,
     inlier_threshold_px: float = 1.0,
     min_matches: int = 8,
+    use_pallas: bool | None = None,
 ) -> PoseResult:
     """Batched-RANSAC two-view pose from matched pixel points.
 
@@ -219,11 +223,23 @@ def estimate_relative_pose(
     # minimal 8-point hypotheses are noisy.
     focal = 0.5 * (Kf[0, 0] + Kf[1, 1])
     thr = (inlier_threshold_px / focal) ** 2
-    err = sampson_error_sq(E_hyp, x1, x2)  # (H, M)
-    trunc = jnp.where(valid[None, :], jnp.minimum(err / thr, 1.0), 0.0)
-    # Invalid matches contribute the truncation cap so degenerate inputs
-    # don't look artificially good.
-    msac = jnp.sum(trunc, axis=-1) + jnp.sum(~valid)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and num_hypotheses % 256 == 0 and M % 128 == 0:
+        # Fused VMEM scoring: never materialises the (H, M) error tensor
+        # (kernels/pose_pallas.py; ~670 MB/chunk of HBM traffic saved).
+        from tpuslam.kernels.pose_pallas import build_msac_operand, msac_scores_pallas
+
+        P_op = build_msac_operand(x1, x2, valid, thr)
+        msac = msac_scores_pallas(
+            E_hyp.reshape(num_hypotheses, 9), P_op
+        ) + jnp.sum(~valid)
+    else:
+        err = sampson_error_sq(E_hyp, x1, x2)  # (H, M)
+        trunc = jnp.where(valid[None, :], jnp.minimum(err / thr, 1.0), 0.0)
+        # Invalid matches contribute the truncation cap so degenerate inputs
+        # don't look artificially good.
+        msac = jnp.sum(trunc, axis=-1) + jnp.sum(~valid)
 
     # --- multi-start annealed local optimisation (LO-RANSAC) ------------------
     # Take the top-L hypotheses and run Sampson-weighted least-squares refits
