@@ -63,7 +63,10 @@ def _eight_point_rows(x1: jax.Array, x2: jax.Array) -> jax.Array:
 
 
 def _solve_e_from_rows(
-    rows: jax.Array, weights: jax.Array | None = None, project: bool = True
+    rows: jax.Array,
+    weights: jax.Array | None = None,
+    project: bool = True,
+    sweeps: int = 5,
 ) -> jax.Array:
     """Least-squares essential matrix from constraint rows.
 
@@ -77,7 +80,7 @@ def _solve_e_from_rows(
     """
     if weights is not None:
         rows = rows * weights[..., None]
-    e = nullvec_jacobi(rows, sweeps=5)  # (..., 9)
+    e = nullvec_jacobi(rows, sweeps=sweeps)  # (..., 9)
     E = e.reshape(*e.shape[:-1], 3, 3)
     if not project:
         return E
@@ -216,7 +219,11 @@ def estimate_relative_pose(
 
     rows_all = _eight_point_rows(x1, x2)  # (M, 9)
     rows = rows_all[sample_idx]  # (H, S, 9)
-    E_hyp = _solve_e_from_rows(rows, project=False)  # (H, 3, 3)
+    # Minimal-sample hypotheses only need to *rank* well — the top-L models
+    # are re-solved over all inliers by the LO rounds below at full sweep
+    # count — so 3 Jacobi sweeps suffice here (measured: identical winners
+    # and rotation errors, ~0.15 ms/frame less sequential-rotation chain).
+    E_hyp = _solve_e_from_rows(rows, project=False, sweeps=3)  # (H, 3, 3)
 
     # --- score all hypotheses (MSAC: truncated-loss sum) ----------------------
     # MSAC discriminates models far better than raw inlier counting when

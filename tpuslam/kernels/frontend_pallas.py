@@ -79,7 +79,11 @@ def _frontend_kernel(
     dark_run = jnp.zeros(center.shape, jnp.int32)
     seg = jnp.zeros(center.shape, bool)
     score = jnp.zeros(center.shape, jnp.int32)
-    for i in range(2 * len(CIRCLE_OFFSETS)):
+    # A wrap-around run of length `contiguous` starts at index ≤ 15, so it
+    # ends by index 14 + contiguous — iterations beyond that only re-detect
+    # runs already seen in the first copy (bit-exact with the 32-iteration
+    # formulation; the reference's loop is also 32, feature_detector.cpp:118).
+    for i in range(min(2 * len(CIRCLE_OFFSETS), 15 + contiguous)):
         dx, dy = CIRCLE_OFFSETS[i % 16]
         nb = win(dy, dx)
         b = nb > hi
@@ -139,7 +143,7 @@ def fused_frontend_batch(
     blur, corner, score = pl.pallas_call(
         kernel,
         grid=(bsz, n_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
             pl.BlockSpec(
                 (1, BLOCK_H, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
