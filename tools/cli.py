@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--slam", action="store_true",
                         help="full SLAM mode: keyframes + windowed bundle "
                              "adjustment + loop closure (needs a vocabulary)")
+    parser.add_argument("--tracking", choices=("vo", "pnp"), default="vo",
+                        help="'vo' chains scaled two-view poses; 'pnp' tracks "
+                             "each frame absolutely against the persistent "
+                             "landmark map (RANSAC DLT-PnP)")
     parser.add_argument("--vocabulary", default=None,
                         help="BoW vocabulary .npz (default: <config>/vocabulary.npz)")
     parser.add_argument("--save-state", default=None,
@@ -80,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         pipeline = SlamSystem(camera, config, vocabulary=vocab)
         log.info("Full SLAM mode (vocabulary: %s)", vocab)
     else:
-        pipeline = SlamPipeline(camera, config)
+        pipeline = SlamPipeline(camera, config, tracking=args.tracking)
     stream = FrameStream(args.stream, frame_skip=args.frame_skip)
     log.info("Stream %s: %d frames", args.stream, stream.total_frames)
 
@@ -95,7 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                 if seen >= limit:
                     break
         batches = limited(batches)
-    result = pipeline.run(batches)
+    if not args.slam and args.tracking == "pnp":
+        result = pipeline.run_pnp(batches)
+    else:
+        result = pipeline.run(batches)
     dt = time.time() - t0
     n = len(result["poses"])
     log.info("Processed %d frames in %.2fs (%.1f FPS incl. compile)", n, dt, n / dt)

@@ -62,7 +62,10 @@ def _dlt_rows(points3d: jax.Array, points2d: jax.Array) -> jax.Array:
 
 
 def solve_pnp_dlt(
-    points3d: jax.Array, points2d: jax.Array, weights: jax.Array | None = None
+    points3d: jax.Array,
+    points2d: jax.Array,
+    weights: jax.Array | None = None,
+    sweeps: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
     """Weighted least-squares DLT PnP → (R (..., 3, 3), t (..., 3)).
 
@@ -76,7 +79,7 @@ def solve_pnp_dlt(
         w2 = jnp.repeat(weights, 2, axis=-1)  # each point contributes 2 rows
         rows = rows * w2[..., None]
     norm = jnp.maximum(jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12)
-    p = nullvec_jacobi(rows / norm)  # (..., 12) row-major vec(P)
+    p = nullvec_jacobi(rows / norm, sweeps=sweeps)  # (..., 12) row-major vec(P)
     P = p.reshape(*p.shape[:-1], 3, 4)
     R_raw = P[..., :3]
     t_raw = P[..., 3]
@@ -109,7 +112,10 @@ def reprojection_errors(
     return err, z
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "min_inliers"))
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "sample_size", "min_inliers", "solver_sweeps"),
+)
 def ransac_pnp(
     points3d: jax.Array,
     points2d: jax.Array,
@@ -121,6 +127,7 @@ def ransac_pnp(
     sample_size: int = 6,
     reproj_threshold: float = 2.0,
     min_inliers: int = 5,
+    solver_sweeps: int = 8,
 ) -> PnPResult:
     """Batched-RANSAC DLT PnP over (M,) correspondences.
 
@@ -143,7 +150,9 @@ def ransac_pnp(
     g = jnp.where(valid[None, :], g, -jnp.inf)
     _, sample_idx = jax.lax.top_k(g, sample_size)  # (H, S)
 
-    R_h, t_h = solve_pnp_dlt(X[sample_idx], xn[sample_idx])  # (H, 3, 3), (H, 3)
+    R_h, t_h = solve_pnp_dlt(
+        X[sample_idx], xn[sample_idx], sweeps=solver_sweeps
+    )  # (H, 3, 3), (H, 3)
 
     err, z = reprojection_errors(Kf, R_h, t_h, X, uv)  # (H, M)
     inlier_mat = (err < reproj_threshold) & (z > 0) & valid[None, :]
@@ -156,7 +165,7 @@ def ransac_pnp(
     best_count = counts[best_h]
     for _ in range(2):
         w = inliers.astype(dtype)
-        R_ref, t_ref = solve_pnp_dlt(X, xn, weights=w)
+        R_ref, t_ref = solve_pnp_dlt(X, xn, weights=w, sweeps=solver_sweeps)
         err_r, z_r = reprojection_errors(Kf, R_ref, t_ref, X, uv)
         inl_r = (err_r < reproj_threshold) & (z_r > 0) & valid
         cnt_r = jnp.sum(inl_r.astype(jnp.int32))

@@ -83,14 +83,34 @@ def _invert_rt(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+class PnpState(NamedTuple):
+    """Carry for PnP tracking mode: VO carry + persistent map + associations."""
+
+    vo: "VoState"
+    map: object  # MapState pytree
+    assoc: object  # AssocState pytree
+
+
 @dataclass
 class SlamPipeline:
-    """Batched monocular visual-odometry pipeline."""
+    """Batched monocular visual-odometry pipeline.
+
+    ``tracking``: ``"vo"`` chains scaled two-view poses (unit baseline +
+    depth-ratio scale propagation); ``"pnp"`` tracks each frame absolutely
+    against the persistent landmark map via RANSAC DLT-PnP
+    (:mod:`tpuslam.model.tracking` — BASELINE config 2, the reference's
+    declared Map-centric design, ``include/slam/backend/map.hpp:9-21``).
+    """
 
     camera: Camera
     config: SlamConfig
+    tracking: str = "vo"
+    map_window: int = 8
+    max_map_points: int = 8192
 
     def __post_init__(self) -> None:
+        if self.tracking not in ("vo", "pnp"):
+            raise ValueError(f"unknown tracking mode {self.tracking!r}")
         self.detector = FeatureDetector(self.config.detector)
         self._K = jnp.asarray(self.camera.K, dtype=jnp.float32)
         flat_idx, valid = self.camera.device_undistort_map()
@@ -99,6 +119,8 @@ class SlamPipeline:
         self._chunk_fn = jax.jit(partial(self._process_chunk, with_features=False))
         self._chunk_full_fn = jax.jit(partial(self._process_chunk, with_features=True))
         self._sequence_fn = jax.jit(self.process_sequence)
+        self._chunk_pnp_fn = jax.jit(self._process_chunk_pnp)
+        self._sequence_pnp_fn = jax.jit(self.process_sequence_pnp)
 
     # --- state ----------------------------------------------------------------
     def initial_state(self) -> VoState:
@@ -132,14 +154,14 @@ class SlamPipeline:
         # batch-native call (the fused Pallas path cannot be vmapped)
         return self.detector.detect_and_compute_batch(und)
 
-    def _process_chunk(
+    def _two_view_stage(
         self,
         frames: jax.Array,
         frame_valid: jax.Array,
         state: VoState,
         key: jax.Array,
-        with_features: bool = False,
-    ) -> tuple[ChunkResult, VoState]:
+    ):
+        """Steps 1-6: the frame-parallel half shared by VO and PnP modes."""
         B = frames.shape[0]
         mcfg = self.config.matcher
         pcfg = self.config.pose
@@ -219,6 +241,22 @@ class SlamPipeline:
             & (z_cur > 0.5)
             & res.success[:, None]
         )
+        return kps, desc, match, mvalid, res, pts1, pts2, X_prev, X_cur, point_ok
+
+    def _process_chunk(
+        self,
+        frames: jax.Array,
+        frame_valid: jax.Array,
+        state: VoState,
+        key: jax.Array,
+        with_features: bool = False,
+    ) -> tuple[ChunkResult, VoState]:
+        B = frames.shape[0]
+        (kps, desc, match, mvalid, res, pts1, pts2, X_prev, X_cur, point_ok) = (
+            self._two_view_stage(frames, frame_valid, state, key)
+        )
+        z_prev = X_prev[..., 2]
+        z_cur = X_cur[..., 2]
 
         # 7) monocular scale propagation.  Each two-view pose has unit
         # baseline; the true inter-frame scale is recovered from depths of
@@ -296,6 +334,117 @@ class SlamPipeline:
             **extra,
         )
         return result, new_state
+
+    # --- PnP tracking mode (BASELINE config 2) ---------------------------------
+    def initial_pnp_state(self) -> PnpState:
+        from tpuslam.backend.map import empty_assoc, empty_map
+
+        return PnpState(
+            vo=self.initial_state(),
+            map=empty_map(self.map_window, self.max_map_points),
+            assoc=empty_assoc(self.config.detector.max_keypoints),
+        )
+
+    def _process_chunk_pnp(
+        self,
+        frames: jax.Array,
+        frame_valid: jax.Array,
+        state: PnpState,
+        key: jax.Array,
+    ) -> tuple[ChunkResult, PnpState]:
+        from tpuslam.model.tracking import pnp_track_chunk
+
+        B = frames.shape[0]
+        key_vo, key_pnp = jax.random.split(key)
+        (kps, desc, match, mvalid, res, pts1, pts2, X_prev, X_cur, point_ok) = (
+            self._two_view_stage(frames, frame_valid, state.vo, key_vo)
+        )
+        track, m_out, a_out, T_last = pnp_track_chunk(
+            state.map,
+            state.assoc,
+            self._K,
+            state.vo.pose,
+            state.vo.frame_idx + jnp.arange(B, dtype=jnp.int32),
+            frame_valid,
+            jax.random.split(key_pnp, B),
+            res.R,
+            res.t,
+            res.success,
+            kps.xy,
+            match.query_idx,
+            match.train_idx,
+            mvalid,
+            X_cur,
+            X_prev[..., 2],
+            point_ok,
+        )
+
+        n_real = jnp.sum(frame_valid.astype(jnp.int32))
+        last = jnp.maximum(n_real - 1, 0)
+        new_vo = VoState(
+            prev_kps=jax.tree.map(lambda a: a[last], kps),
+            prev_desc=desc[last],
+            prev_exists=state.vo.prev_exists | (n_real > 0),
+            pose=track.poses[last],
+            frame_idx=state.vo.frame_idx + n_real,
+            prev_depth=state.vo.prev_depth,  # unused in PnP mode
+            prev_depth_valid=state.vo.prev_depth_valid,
+        )
+        result = ChunkResult(
+            poses=track.poses,
+            num_matches=jnp.sum(mvalid.astype(jnp.int32), axis=-1),
+            num_inliers=jnp.where(
+                track.pnp_ok, track.num_pnp_inliers, res.num_inliers
+            ),
+            pose_ok=track.pnp_ok | res.success,
+        )
+        return result, PnpState(vo=new_vo, map=m_out, assoc=a_out)
+
+    def process_sequence_pnp(
+        self,
+        chunks: jax.Array,
+        chunk_valid: jax.Array,
+        state: PnpState,
+        keys: jax.Array,
+    ) -> tuple[ChunkResult, PnpState]:
+        """One-dispatch scan of the PnP-tracking chunk program."""
+
+        def step(st, xs):
+            frames, valid, key = xs
+            result, st = self._process_chunk_pnp(frames, valid, st, key)
+            return st, result
+
+        new_state, results = jax.lax.scan(step, state, (chunks, chunk_valid, keys))
+        return results, new_state
+
+    def run_pnp(
+        self,
+        frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
+        seed: int = 0,
+    ) -> dict:
+        """PnP-tracking driver: ``FrameStream.batches()`` → trajectory + stats."""
+        state = self.initial_pnp_state()
+        key = jax.random.PRNGKey(seed)
+        poses: list[np.ndarray] = []
+        stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
+        for frames, _stamps, valid in frame_batches:
+            key, sub = jax.random.split(key)
+            result, state = self._chunk_pnp_fn(
+                jnp.asarray(frames), jnp.asarray(valid), state, sub
+            )
+            n = int(valid.sum())
+            poses.append(np.asarray(result.poses)[:n])
+            stats["num_matches"].append(np.asarray(result.num_matches)[:n])
+            stats["num_inliers"].append(np.asarray(result.num_inliers)[:n])
+            stats["pose_ok"].append(np.asarray(result.pose_ok)[:n])
+        out = {
+            "poses": np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
+            "map": state.map,
+        }
+        for k in ("num_matches", "num_inliers", "pose_ok"):
+            v = stats[k]
+            out[k] = np.concatenate(v) if v else np.zeros((0,))
+        return out
 
     # --- whole-sequence program: one dispatch, scan over chunks -----------------
     def process_sequence(

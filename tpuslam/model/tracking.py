@@ -1,0 +1,233 @@
+"""PnP tracking against the persistent map (BASELINE config 2).
+
+Pure two-view VO chains unit-baseline relative poses and recovers scale
+from depth-ratio medians — every frame's scale estimate compounds.  This
+module instead tracks each frame *absolutely* against the metric map the
+pipeline itself builds: the landmarks a frame re-observes (chained through
+match indices exactly as :func:`tpuslam.backend.map.update_map_chunk`) give
+3D↔2D correspondences, and batched RANSAC DLT-PnP
+(:mod:`tpuslam.backend.pnp`) yields the world→camera pose directly — no
+scale chaining, drift bounded by map quality rather than by the product of
+per-pair ratio estimates.
+
+This is the Map-centric design the reference declares but never implements:
+persistent landmarks (``include/slam/backend/map.hpp:9-21``) consumed by a
+tracking loop (``model.hpp:20-27`` commented-out members).  The reference's
+only PnP lives in loop-closure verification (``loop_closure.cpp:238-274``);
+here the same solver runs every frame.
+
+Structure: the frame-parallel two-view stage still runs batched (matching,
+essential RANSAC, unit triangulation); the inherently sequential part —
+associate → PnP → pose → map insert — is one ``lax.scan`` over the chunk,
+with masked fallbacks (scaled two-view pose when PnP has too few landmark
+hits, identity when both fail) so fixed-shape execution never breaks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.map import (
+    AssocState,
+    MapState,
+    add_observations,
+    insert_keyframe,
+    insert_points,
+)
+from tpuslam.backend.pnp import ransac_pnp
+
+
+class TrackChunkResult(NamedTuple):
+    poses: jax.Array  # (B, 4, 4) T_world_cam
+    pnp_ok: jax.Array  # (B,) bool — PnP produced this frame's pose
+    num_pnp_inliers: jax.Array  # (B,) int32
+    scale: jax.Array  # (B,) float32 — metric baseline applied to the pair
+
+
+def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
+    """[R|t] world→cam → 4×4 T_world_cam."""
+    R_wc = jnp.swapaxes(R_cw, -1, -2)
+    top = jnp.concatenate([R_wc, (-(R_wc @ t_cw[..., :, None]))], axis=-1)
+    bottom = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype=R_cw.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pnp_hypotheses", "pnp_min_inliers", "gate_px"),
+)
+def pnp_track_chunk(
+    m: MapState,
+    assoc: AssocState,
+    K: jax.Array,  # (3, 3)
+    T_prev0: jax.Array,  # (4, 4) pose of the frame before the chunk
+    frame_ids: jax.Array,  # (B,) int32
+    frame_valid: jax.Array,  # (B,) bool
+    keys: jax.Array,  # (B, 2) PRNG keys for PnP sampling
+    R_rel: jax.Array,  # (B, 3, 3) two-view [R|t]: x_cur = R x_prev + t
+    t_rel: jax.Array,  # (B, 3) unit-baseline translation
+    vo_ok: jax.Array,  # (B,) bool — two-view estimate succeeded
+    kps_xy: jax.Array,  # (B, K, 2)
+    m_query: jax.Array,  # (B, M) int32
+    m_train: jax.Array,  # (B, M) int32
+    m_valid: jax.Array,  # (B, M) bool
+    X_cur_unit: jax.Array,  # (B, M, 3) unit-baseline triangulation, cur cam
+    z_prev_unit: jax.Array,  # (B, M) unit-baseline depth in the prev cam
+    point_ok: jax.Array,  # (B, M) bool
+    *,
+    pnp_hypotheses: int = 64,
+    pnp_min_inliers: int = 12,
+    gate_px: float = 8.0,
+) -> tuple[TrackChunkResult, MapState, AssocState, jax.Array]:
+    """Track a chunk of frames against the map; returns poses + new state.
+
+    Every valid frame becomes a keyframe in the sliding window (the map is
+    the tracking reference, so it must stay current).  Returns
+    ``(result, map, assoc, T_last)``.
+    """
+
+    def step(carry, xs):
+        m, a, T_prev = carry
+        (fid, fv, key, Rr, tr, vok, xy, q, t, mv, Xc_u, zp_u, ok_pt) = xs
+
+        qc = jnp.maximum(q, 0)
+        tc = jnp.maximum(t, 0)
+        uv_cur = xy[tc]
+
+        # --- landmark association via the previous frame's keypoints --------
+        cand_slot = a.kp_to_point[qc]
+        cand_birth = a.kp_birth[qc]
+        alive = (
+            mv
+            & (cand_slot >= 0)
+            & (m.point_birth[jnp.maximum(cand_slot, 0)] == cand_birth)
+            & m.point_valid[jnp.maximum(cand_slot, 0)]
+        )
+        X_map = m.points[jnp.maximum(cand_slot, 0)]  # (M, 3) world
+
+        # --- absolute pose: RANSAC PnP over re-observed landmarks -----------
+        pnp = ransac_pnp(
+            X_map,
+            uv_cur,
+            alive,
+            K,
+            key,
+            num_hypotheses=pnp_hypotheses,
+            min_inliers=pnp_min_inliers,
+            solver_sweeps=5,
+        )
+        T_pnp = _pose_from_rt(pnp.R, pnp.t)
+
+        # --- fallback: two-view pose at map-anchored scale -------------------
+        # Baseline scale from depths: the same landmarks seen by the previous
+        # camera have metric depth z_map_prev = (R_prev X + t_prev)_z and
+        # unit-pair depth z_prev_unit; their ratio is the metric baseline.
+        R_cw_p = jnp.swapaxes(T_prev[:3, :3], 0, 1)
+        t_cw_p = -R_cw_p @ T_prev[:3, 3]
+        z_map_prev = (X_map @ R_cw_p.T + t_cw_p)[:, 2]
+        r_ok = alive & ok_pt & (zp_u > 1e-3) & (z_map_prev > 1e-3)
+        ratio = jnp.where(r_ok, z_map_prev / jnp.maximum(zp_u, 1e-9), jnp.nan)
+        s_fb = jnp.clip(jnp.nan_to_num(jnp.nanmedian(ratio), nan=1.0), 0.05, 20.0)
+        s_fb = jnp.where(jnp.sum(r_ok) >= 5, s_fb, 1.0)
+        T_rel_fb = _pose_from_rt(Rr, tr * s_fb)  # T_prev_cur
+        T_fb = T_prev @ T_rel_fb
+
+        pnp_ok = pnp.success & fv
+        T_cur = jnp.where(pnp_ok, T_pnp, jnp.where(vok & fv, T_fb, T_prev))
+
+        # --- metric scale actually applied to this pair ----------------------
+        T_rel_fin = jnp.linalg.solve(T_prev, T_cur)
+        s_used = jnp.linalg.norm(T_rel_fin[:3, 3])
+        X_world = (
+            jnp.einsum(
+                "ij,mj->mi", T_cur[:3, :3], Xc_u * s_used, precision="highest"
+            )
+            + T_cur[:3, 3][None, :]
+        )
+
+        # --- map update (same gating as update_map_chunk) --------------------
+        enabled = fv & ((pnp_ok | vok) | (m.kf_count == 0))
+        R_cw_c = jnp.swapaxes(T_cur[:3, :3], 0, 1)
+        Xc_cand = (X_map - T_cur[:3, 3][None, :]) @ jnp.swapaxes(R_cw_c, 0, 1).T
+        z_cand = Xc_cand[:, 2]
+        pix = Xc_cand @ K.T
+        uv_pred = pix[:, :2] / jnp.maximum(pix[:, 2:3], 1e-9)
+        gate = (z_cand > 0.2) & (
+            jnp.sum((uv_pred - uv_cur) ** 2, axis=-1) < gate_px * gate_px
+        )
+        obs_alive = alive & gate
+        assoc_slot = jnp.where(obs_alive, cand_slot, -1)
+
+        new_mask = ok_pt & (assoc_slot < 0) & enabled
+        m2, new_slots = insert_points(m, X_world, new_mask)
+        pt_slot = jnp.where(assoc_slot >= 0, assoc_slot, new_slots)
+
+        t_cw_c = -R_cw_c @ T_cur[:3, 3]
+        m3, kf_slot = insert_keyframe(m2, fid, R_cw_c, t_cw_c, enabled)
+        obs_ok = (obs_alive | new_mask) & enabled
+        m4 = add_observations(m3, jnp.maximum(kf_slot, 0), pt_slot, uv_cur, obs_ok)
+
+        # second view for brand-new points in the previous keyframe
+        uv_prev = a.prev_xy[qc]
+        pks = jnp.maximum(a.prev_kf_slot, 0)
+        Xc_prev = X_world @ m4.kf_R[pks].T + m4.kf_t[pks][None, :]
+        pix_p = Xc_prev @ K.T
+        uv_pred_p = pix_p[:, :2] / jnp.maximum(pix_p[:, 2:3], 1e-9)
+        gate_p = (Xc_prev[:, 2] > 0.2) & (
+            jnp.sum((uv_pred_p - uv_prev) ** 2, axis=-1) < gate_px * gate_px
+        )
+        m5 = add_observations(
+            m4, pks, new_slots, uv_prev, new_mask & (a.prev_kf_slot >= 0) & gate_p
+        )
+
+        # --- propagate landmark identity -------------------------------------
+        k_cap = a.kp_to_point.shape[0]
+        carry_ok = mv & (pt_slot >= 0) & (obs_alive | new_mask)
+        tw = jnp.where(carry_ok, tc, k_cap)
+        kp_to_point = (
+            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(pt_slot, mode="drop")
+        )
+        birth_of = m5.point_birth[jnp.maximum(pt_slot, 0)]
+        kp_birth = (
+            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(birth_of, mode="drop")
+        )
+        a2 = AssocState(
+            kp_to_point=kp_to_point,
+            kp_birth=kp_birth,
+            prev_kf_slot=jnp.where(enabled, kf_slot, jnp.asarray(-1, jnp.int32)),
+            prev_xy=xy,
+        )
+        out = (T_cur, pnp_ok, pnp.num_inliers, s_used)
+        return (m5, a2, T_cur), out
+
+    (m_out, a_out, T_last), (poses, pnp_ok, n_inl, scale) = jax.lax.scan(
+        step,
+        (m, assoc, T_prev0),
+        (
+            frame_ids,
+            frame_valid,
+            keys,
+            R_rel,
+            t_rel,
+            vo_ok,
+            kps_xy,
+            m_query,
+            m_train,
+            m_valid,
+            X_cur_unit,
+            z_prev_unit,
+            point_ok,
+        ),
+    )
+    return (
+        TrackChunkResult(
+            poses=poses, pnp_ok=pnp_ok, num_pnp_inliers=n_inl, scale=scale
+        ),
+        m_out,
+        a_out,
+        T_last,
+    )
