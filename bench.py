@@ -30,13 +30,58 @@ apply_env_platform()
 import numpy as np  # noqa: E402
 
 
+def _load_frames(n_frames: int) -> np.ndarray:
+    from tpuslam.pre.stream import FrameStream
+
+    stream = FrameStream(REPO_ROOT / "tests" / "data" / "images")
+    base = [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    return np.stack([base[i % len(base)] for i in range(n_frames)])
+
+
+def main_slam() -> None:
+    """--slam: full SLAM-system throughput (VO + map + loop closure + BA).
+
+    Steady-state: one warm-up pass compiles every program (chunk, map
+    update, loop-closure chunk scan, BA), then the timed pass streams the
+    same frames through a fresh system state.
+    """
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.model.system import SlamSystem
+
+    batch = 16
+    n_frames = 96
+
+    camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=batch)
+    frames = _load_frames(n_frames)
+
+    system = SlamSystem(
+        camera, config, vocabulary=REPO_ROOT / "configs" / "vocabulary.npz"
+    )
+    system.run_sequence(frames)  # compile the sequence program
+    t0 = time.perf_counter()
+    system.run_sequence(frames)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "slam_throughput_kitti",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 500.0, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
 
     from tpuslam.common.camera import Camera
     from tpuslam.config.schema import SlamConfig
     from tpuslam.model.slam import SlamPipeline
-    from tpuslam.pre.stream import FrameStream
 
     batch = 16
     n_frames = 96  # 6 chunks of 16
@@ -45,9 +90,7 @@ def main() -> None:
     config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=batch)
     pipeline = SlamPipeline(camera, config)
 
-    stream = FrameStream(REPO_ROOT / "tests" / "data" / "images")
-    base = [stream.read_frame(i)[0] for i in range(stream.total_frames)]
-    frames = np.stack([base[i % len(base)] for i in range(n_frames)])
+    frames = _load_frames(n_frames)
 
     state = pipeline.initial_state()
     key = jax.random.PRNGKey(0)
@@ -88,4 +131,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--slam" in sys.argv:
+        main_slam()
+    else:
+        main()

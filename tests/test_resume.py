@@ -1,0 +1,60 @@
+"""Checkpoint resume: a split run must reproduce the uninterrupted run.
+
+The reference has no persistence at all (SURVEY §5); this is the
+framework's resume path: ``--save-state`` writes the tracking carry
+(``VoState``) + trajectory, ``--resume`` restores them and continues the
+stream at the saved frame.  Per-frame PRNG keys fold in the *global* frame
+index (``model/slam.py`` step 5), so RANSAC sampling — and therefore the
+trajectory — is bit-identical however the run is split.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+CLI = REPO_ROOT / "tools" / "cli.py"
+
+
+def _run_cli(*args: str) -> None:
+    proc = subprocess.run(
+        [sys.executable, str(CLI), *args],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        cwd=REPO_ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_split_run_equals_single_run(tmp_path, data_dir):
+    stream = str(data_dir / "images")
+    cfg = str(REPO_ROOT / "configs")
+
+    full = tmp_path / "full.txt"
+    _run_cli("-c", cfg, "-v", stream, "-o", str(full), "--batch-size", "4")
+
+    ckpt = tmp_path / "ckpt.npz"
+    part1 = tmp_path / "part1.txt"
+    _run_cli(
+        "-c", cfg, "-v", stream, "-o", str(part1), "--batch-size", "4",
+        "--max-frames", "6", "--save-state", str(ckpt),
+    )
+    part2 = tmp_path / "part2.txt"
+    _run_cli(
+        "-c", cfg, "-v", stream, "-o", str(part2), "--batch-size", "4",
+        "--resume", str(ckpt),
+    )
+
+    T_full = np.loadtxt(full)
+    T_split = np.loadtxt(part2)
+    assert T_full.shape == T_split.shape == (10, 12)
+    # Identical frame keys + identical carry ⇒ identical trajectories.
+    np.testing.assert_allclose(T_split, T_full, rtol=0, atol=1e-6)
+    # and the first segment is a strict prefix
+    T_part1 = np.loadtxt(part1)
+    np.testing.assert_allclose(T_part1, T_full[: len(T_part1)], rtol=0, atol=1e-6)

@@ -133,3 +133,29 @@ def test_system_loop_detection_and_pose_graph(system, loop_sequence_dir):
     R = result["poses"][:, :3, :3]
     eye = np.einsum("nij,nkj->nik", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (19, 1, 1)), atol=1e-3)
+
+
+def test_run_sequence_matches_streaming_run(data_dir):
+    """The one-dispatch sequence program and the streaming driver are the
+    same computation (chunk-indexed keys): identical trajectories."""
+    from tpuslam.pre.stream import FrameStream
+
+    camera = Camera.from_yaml(CONFIGS / "camera.yml")
+    config = SlamConfig.from_yaml_dir(CONFIGS, batch_size=5)
+    system = SlamSystem(
+        camera,
+        config,
+        vocabulary=CONFIGS / "vocabulary.npz",
+        ba_interval=3,
+    )
+    stream = FrameStream(data_dir / "images")
+    streaming = system.run(stream.batches(5))
+    frames = np.stack(
+        [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    )
+    staged = system.run_sequence(frames)
+    assert staged["poses"].shape == streaming["poses"].shape
+    np.testing.assert_allclose(
+        staged["poses"], streaming["poses"], atol=1e-4
+    )
+    assert len(staged["ba_events"]) == len(streaming["ba_events"])

@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="BoW vocabulary .npz (default: <config>/vocabulary.npz)")
     parser.add_argument("--save-state", default=None,
                         help="write final map/trajectory checkpoint (.npz)")
+    parser.add_argument("--resume", default=None,
+                        help="resume from a --save-state checkpoint: restores "
+                             "the tracking state and continues the stream at "
+                             "the saved frame index (VO/PnP modes; per-frame "
+                             "PRNG keys make the result identical to an "
+                             "uninterrupted run)")
     parser.add_argument("--plot", default=None,
                         help="write a top-down trajectory plot PNG")
     parser.add_argument("--debug", action="store_true")
@@ -88,8 +94,31 @@ def main(argv: list[str] | None = None) -> int:
     stream = FrameStream(args.stream, frame_skip=args.frame_skip)
     log.info("Stream %s: %d frames", args.stream, stream.total_frames)
 
+    resume_state = None
+    resume_poses = None
+    start_frame = 0
+    if args.resume:
+        if args.slam:
+            raise SystemExit("--resume supports VO/PnP modes (not --slam yet)")
+        from tpuslam.utils.checkpoint import load_state
+
+        template = (
+            pipeline.initial_pnp_state()
+            if args.tracking == "pnp"
+            else pipeline.initial_state()
+        )
+        import numpy as _np
+
+        loaded = load_state(
+            args.resume, state=template, trajectory=_np.zeros((0, 4, 4))
+        )
+        resume_state = loaded["state"]
+        resume_poses = _np.asarray(loaded["trajectory"])
+        start_frame = len(resume_poses)
+        log.info("Resuming at frame %d from %s", start_frame, args.resume)
+
     t0 = time.time()
-    batches = stream.batches(args.batch_size)
+    batches = stream.batches(args.batch_size, start_frame=start_frame)
     if args.max_frames:
         def limited(it, limit=args.max_frames):
             seen = 0
@@ -100,9 +129,15 @@ def main(argv: list[str] | None = None) -> int:
                     break
         batches = limited(batches)
     if not args.slam and args.tracking == "pnp":
-        result = pipeline.run_pnp(batches)
+        result = pipeline.run_pnp(batches, initial_state=resume_state)
+    elif not args.slam:
+        result = pipeline.run(batches, initial_state=resume_state)
     else:
         result = pipeline.run(batches)
+    if resume_poses is not None:
+        import numpy as _np
+
+        result["poses"] = _np.concatenate([resume_poses, result["poses"]])
     dt = time.time() - t0
     n = len(result["poses"])
     log.info("Processed %d frames in %.2fs (%.1f FPS incl. compile)", n, dt, n / dt)
@@ -120,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
         states = {"trajectory": result["poses"]}
         if args.slam:
             states["map"] = result["map"]
+        elif "state" in result:
+            states["state"] = result["state"]
         save_state(args.save_state, **states)
         log.info("State checkpoint written to %s", args.save_state)
     if args.plot:

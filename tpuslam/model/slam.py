@@ -207,8 +207,12 @@ class SlamPipeline:
         pts1, pts2 = jax.vmap(gather_pts)(kps_q, kps, match)
         mvalid = match.valid & pair_ok[:, None]
 
-        # 5) frame-parallel two-view RANSAC
-        keys = jax.random.split(key, B)
+        # 5) frame-parallel two-view RANSAC.  Keys are derived from the
+        # GLOBAL frame index (fold_in), not the chunk-local split order, so
+        # a resumed run reproduces the original key sequence regardless of
+        # where chunk boundaries fall (checkpoint resume, utils/checkpoint).
+        fids = state.frame_idx + jnp.arange(B, dtype=jnp.int32)
+        keys = jax.vmap(lambda f: jax.random.fold_in(key, f))(fids)
         pose_fn = partial(
             estimate_relative_pose,
             num_hypotheses=pcfg.num_hypotheses,
@@ -359,14 +363,15 @@ class SlamPipeline:
         (kps, desc, match, mvalid, res, pts1, pts2, X_prev, X_cur, point_ok) = (
             self._two_view_stage(frames, frame_valid, state.vo, key_vo)
         )
+        fids = state.vo.frame_idx + jnp.arange(B, dtype=jnp.int32)
         track, m_out, a_out, T_last = pnp_track_chunk(
             state.map,
             state.assoc,
             self._K,
             state.vo.pose,
-            state.vo.frame_idx + jnp.arange(B, dtype=jnp.int32),
+            fids,
             frame_valid,
-            jax.random.split(key_pnp, B),
+            jax.vmap(lambda f: jax.random.fold_in(key_pnp, f))(fids),
             res.R,
             res.t,
             res.success,
@@ -421,16 +426,20 @@ class SlamPipeline:
         self,
         frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
         seed: int = 0,
+        initial_state: PnpState | None = None,
     ) -> dict:
         """PnP-tracking driver: ``FrameStream.batches()`` → trajectory + stats."""
-        state = self.initial_pnp_state()
+        state = (
+            initial_state if initial_state is not None else self.initial_pnp_state()
+        )
         key = jax.random.PRNGKey(seed)
         poses: list[np.ndarray] = []
         stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
-        for frames, _stamps, valid in frame_batches:
-            key, sub = jax.random.split(key)
+        from tpuslam.pre.stream import device_prefetch
+
+        for frames, _stamps, valid in device_prefetch(frame_batches):
             result, state = self._chunk_pnp_fn(
-                jnp.asarray(frames), jnp.asarray(valid), state, sub
+                jnp.asarray(frames), jnp.asarray(valid), state, key
             )
             n = int(valid.sum())
             poses.append(np.asarray(result.poses)[:n])
@@ -440,6 +449,7 @@ class SlamPipeline:
         out = {
             "poses": np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
             "map": state.map,
+            "state": state,
         }
         for k in ("num_matches", "num_inliers", "pose_ok"):
             v = stats[k]
@@ -474,16 +484,25 @@ class SlamPipeline:
         self,
         frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
         seed: int = 0,
+        initial_state: VoState | None = None,
     ) -> dict:
-        """Consume ``FrameStream.batches()`` → trajectory + per-frame stats."""
-        state = self.initial_state()
+        """Consume ``FrameStream.batches()`` → trajectory + per-frame stats.
+
+        Pass a checkpointed ``initial_state`` (and a stream started at
+        ``state.frame_idx``) to resume: per-frame PRNG keys fold in the
+        global frame index, so the resumed trajectory is bit-identical to
+        an uninterrupted run with the same seed.  The final carry is
+        returned under ``"state"`` for checkpointing.
+        """
+        state = initial_state if initial_state is not None else self.initial_state()
         key = jax.random.PRNGKey(seed)
         poses: list[np.ndarray] = []
         stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
-        for frames, _stamps, valid in frame_batches:
-            key, sub = jax.random.split(key)
+        from tpuslam.pre.stream import device_prefetch
+
+        for frames, _stamps, valid in device_prefetch(frame_batches):
             result, state = self._chunk_fn(
-                jnp.asarray(frames), jnp.asarray(valid), state, sub
+                jnp.asarray(frames), jnp.asarray(valid), state, key
             )
             n = int(valid.sum())
             poses.append(np.asarray(result.poses)[:n])
@@ -492,5 +511,6 @@ class SlamPipeline:
             stats["pose_ok"].append(np.asarray(result.pose_ok)[:n])
         return {
             "poses": np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
+            "state": state,
             **{k: np.concatenate(v) if v else np.zeros((0,)) for k, v in stats.items()},
         }

@@ -131,15 +131,17 @@ class FrameStream:
         return list(range(0, self.total_frames, 1 + self.frame_skip))
 
     def batches(
-        self, batch_size: int, prefetch: int = 2
+        self, batch_size: int, prefetch: int = 2, start_frame: int = 0
     ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield ``(frames (B, H, W) u8, timestamps (B,), valid (B,))`` chunks.
 
         The final chunk is padded (repeating the last frame) with ``valid``
         marking real entries, so device shapes stay static.  A background
-        thread prefetches/decodes ahead of the consumer.
+        thread prefetches/decodes ahead of the consumer.  ``start_frame``
+        skips that many *yielded* frames (post-``frame_skip``) — the resume
+        offset, in the same units as ``VoState.frame_idx``.
         """
-        indices = self.frame_indices()
+        indices = self.frame_indices()[start_frame:]
         if not indices:
             return
 
@@ -175,3 +177,26 @@ class FrameStream:
             if item is _SENTINEL:
                 break
             yield item
+
+
+def device_prefetch(
+    batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    depth: int = 2,
+) -> Iterator[tuple[object, np.ndarray, np.ndarray]]:
+    """Asynchronously stage frame chunks on device ``depth`` chunks ahead.
+
+    ``jax.device_put`` is asynchronous: enqueueing the next chunk's copy
+    while the current chunk computes overlaps host→device transfer with
+    device compute.  Through the remote-TPU tunnel the raw copy costs
+    ~12 ms/frame (measured ~57 MB/s) — without this overlap it bounds the
+    streaming pipeline regardless of kernel speed.
+    """
+    import jax
+
+    buf: list = []
+    for frames, stamps, valid in batches:
+        buf.append((jax.device_put(frames), stamps, valid))
+        if len(buf) >= depth:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
