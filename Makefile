@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench native vocab dryrun clean
+.PHONY: test test-fast bench native vocab dryrun lint clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -28,3 +28,6 @@ dryrun:
 clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+
+lint:
+	@command -v ruff >/dev/null 2>&1 && ruff check tpuslam tools tests bench.py __graft_entry__.py || $(PY) tools/lint.py

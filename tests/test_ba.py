@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpuslam.backend.ba import bundle_adjust
 from tpuslam.backend.map import add_observations, empty_map, insert_keyframe, insert_points

@@ -83,3 +83,14 @@ def test_sharding_actually_distributes():
     sharding = res.poses.sharding
     # the leading sequence axis must be split across all 8 devices
     assert len(sharding.device_set) == 8
+
+
+def test_initialize_multihost_single_process_fallback():
+    """Single-process environments must fall back gracefully (False) and
+    leave the local mesh usable — the multi-host path itself needs a real
+    pod, which the driver's dryrun covers structurally."""
+    from tpuslam.dist.mesh import initialize_multihost, make_device_mesh
+
+    assert initialize_multihost() is False
+    mesh = make_device_mesh(4)
+    assert mesh.devices.shape == (4,)

@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tests.golden.reference_impl import match_hamming
 from tpuslam.config.schema import DetectorConfig, MatcherConfig

@@ -3,7 +3,6 @@ on CPU; the real TPU lowering is exercised by bench/pipeline drives)."""
 
 import jax
 import jax.numpy as jnp
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpuslam.backend.pnp import ransac_pnp, reprojection_errors, solve_pnp_dlt
 from tpuslam.common.geometry import so3_exp

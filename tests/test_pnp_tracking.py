@@ -10,7 +10,6 @@ are *more* consistent than VO's chained depth-ratio scale — the property
 absolute tracking exists to provide.
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from tpuslam.common.geometry import hat, so3_exp
-from tpuslam.config.schema import DetectorConfig, MatcherConfig, PoseConfig
+from tpuslam.config.schema import DetectorConfig, MatcherConfig
 from tpuslam.frontend.detector import FeatureDetector
 from tpuslam.frontend.matcher import FeatureMatcher
 from tpuslam.frontend.pose import (

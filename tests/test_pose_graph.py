@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpuslam.backend.pose_graph import (
     add_edge,

@@ -48,6 +48,11 @@ class DetectorConfig:
     # orientation to this many bins so description runs as one int8 MXU
     # matmul (~7× faster; ≤ 360/bins deg quantisation).
     brief_quantized_bins: int = 0
+    # Multi-scale (ORB-style) pyramid: 1 = single scale (reference parity).
+    # Levels are detected/described on successively 1/scale_factor-resized
+    # images; keypoint capacity splits across levels by image area.
+    num_levels: int = 1
+    scale_factor: float = 1.2
 
     def __post_init__(self) -> None:
         if not 0 <= self.intensity_threshold <= 255:
@@ -62,6 +67,10 @@ class DetectorConfig:
             raise ValueError("Number of BRIEF pairs must be a positive multiple of 8.")
         if self.max_keypoints <= 0:
             raise ValueError("MaxKeypoints must be a positive integer.")
+        if self.num_levels < 1:
+            raise ValueError("NumLevels must be >= 1.")
+        if self.num_levels > 1 and self.scale_factor <= 1.0:
+            raise ValueError("ScaleFactor must be > 1.0 for a multi-level pyramid.")
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "DetectorConfig":
@@ -79,6 +88,8 @@ class DetectorConfig:
             max_keypoints=int(_get(doc, "MaxKeypoints", 1024)),
             brief_seed=int(_get(doc, "BriefSeed", 42)),
             brief_quantized_bins=int(_get(doc, "BriefQuantizedBins", 0)),
+            num_levels=int(_get(doc, "NumLevels", 1)),
+            scale_factor=float(_get(doc, "ScaleFactor", 1.2)),
         )
 
     @property

@@ -18,7 +18,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Join a multi-host JAX cluster (``jax.distributed.initialize``).
+
+    The SURVEY §5 distributed-communication row: on multi-host TPU pods
+    every host must call this before any mesh is built so
+    ``jax.devices()`` spans the full pod and XLA collectives ride ICI/DCN.
+    Arguments default to cluster-environment auto-detection (TPU pod
+    metadata / coordinator env vars); explicit values support manual
+    process launch.  Returns True when a multi-process runtime is active
+    (idempotent; single-host callers get False and a local mesh).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Already initialized, or no cluster environment to detect —
+        # single-process operation is the correct fallback for both.
+        pass
+    return jax.process_count() > 1
+
+
 def make_device_mesh(n_devices: int | None = None, axis_name: str = "seq") -> Mesh:
+    """Mesh over all (global, in multi-host runs) devices.
+
+    After :func:`initialize_multihost`, ``jax.devices()`` returns every
+    device in the cluster in a stable order, so the same call shapes a
+    single-host v5e-8 mesh and a multi-host pod slice mesh.
+    """
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:

@@ -23,7 +23,6 @@ from tpuslam.frontend.brief import (
     compute_brief_descriptors_quantized,
     compute_orientations,
     disc_moment_weights,
-    extract_brief_patches_i8,
     gaussian_blur_u8,
     gaussian_kernel,
     generate_brief_pattern,
@@ -103,7 +102,26 @@ class FeatureDetector:
 
     # --- batched --------------------------------------------------------------
     def detect_and_compute_batch(self, images: jax.Array) -> tuple[KeypointSet, jax.Array]:
-        """Batched detect+compute over (B, H, W) frames."""
+        """Batched detect+compute over (B, H, W) frames.
+
+        With ``num_levels > 1`` this runs the ORB-style image pyramid
+        (BASELINE config 4): each level detects + describes on a
+        1/scale_factor^l-resized image and its keypoints map back to level-0
+        pixels, so blur/scale-degraded structure still yields matchable
+        features.  The reference is single-scale
+        (``feature_detector.cpp:56-68`` scans one image); the pyramid is the
+        standard ORB extension, capacity-split by level area so the
+        concatenated keypoint set keeps the fixed ``max_keypoints`` shape.
+        """
+        c = self.config
+        if c.num_levels <= 1:
+            return self._level_batch(images, c.max_keypoints)
+        return self._pyramid_batch(images)
+
+    def _level_batch(
+        self, images: jax.Array, max_keypoints: int
+    ) -> tuple[KeypointSet, jax.Array]:
+        """Single-scale batched detect+compute with an explicit capacity."""
         c = self.config
         if self.use_pallas and images.shape[-2] >= 64 and images.shape[-1] >= 128:
             from tpuslam.kernels.frontend_pallas import fused_frontend_batch
@@ -116,7 +134,7 @@ class FeatureDetector:
             kps = jax.vmap(
                 lambda co, sc: select_keypoints(
                     co, sc, nms=c.non_max_suppression,
-                    window=c.suppression_window_size, max_keypoints=c.max_keypoints,
+                    window=c.suppression_window_size, max_keypoints=max_keypoints,
                 )
             )(corner, score)
             if c.brief_quantized_bins > 0:
@@ -131,9 +149,68 @@ class FeatureDetector:
                     c.patch_size, c.brief_quantized_bins,
                 )
             )(blur, kps)
-        return jax.vmap(lambda im: (lambda k: self.compute(im, k))(self.detect(im)))(
-            images
-        )
+
+        def one(im):
+            kps = detect_keypoints(
+                im,
+                threshold=c.intensity_threshold,
+                contiguous=c.contiguous_pixels_threshold,
+                nms=c.non_max_suppression,
+                window=c.suppression_window_size,
+                max_keypoints=max_keypoints,
+            )
+            return _compute_impl(
+                im, kps, self.blur_kernel, self.pattern, self.bin_weights,
+                c.num_brief_pairs, c.patch_size, c.brief_quantized_bins,
+            )
+
+        return jax.vmap(one)(images)
+
+    def _feasible_levels(self, h: int, w: int) -> list[tuple[int, int, int]]:
+        """(level, h_l, w_l) for every level large enough to detect on."""
+        c = self.config
+        out = []
+        min_side = 4 * c.patch_size
+        for level in range(c.num_levels):
+            s = c.scale_factor**level
+            h_l, w_l = int(round(h / s)), int(round(w / s))
+            if min(h_l, w_l) < min_side:
+                break
+            out.append((level, h_l, w_l))
+        return out
+
+    def _pyramid_batch(self, images: jax.Array) -> tuple[KeypointSet, jax.Array]:
+        c = self.config
+        B, H, W = images.shape
+        levels = self._feasible_levels(H, W)
+        # capacity ∝ level area, summing exactly to max_keypoints
+        weights = [(w_l * h_l) for (_, h_l, w_l) in levels]
+        total = float(sum(weights))
+        caps = [max(32, int(round(c.max_keypoints * wt / total))) for wt in weights]
+        caps[0] += c.max_keypoints - sum(caps)
+
+        kp_parts: list[KeypointSet] = []
+        desc_parts: list[jax.Array] = []
+        for (level, h_l, w_l), cap in zip(levels, caps):
+            img = images if level == 0 else _resize_batch_u8(images, h_l, w_l)
+            kps, desc = self._level_batch(img, cap)
+            scale = jnp.float32(c.scale_factor**level)
+            kps = kps._replace(xy=kps.xy * scale)
+            kp_parts.append(kps)
+            desc_parts.append(desc)
+        kps = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1), *kp_parts)
+        return kps, jnp.concatenate(desc_parts, axis=1)
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out"))
+def _resize_batch_u8(images: jax.Array, h_out: int, w_out: int) -> jax.Array:
+    """Bilinear (B, H, W) uint8 resize — the pyramid downscale."""
+    out = jax.image.resize(
+        images.astype(jnp.float32),
+        (images.shape[0], h_out, w_out),
+        method="linear",
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("num_pairs", "patch_size", "quantized_bins"))
