@@ -30,11 +30,13 @@ def _zero_scalar_from(out) -> jax.Array:
         a for a in jax.tree.leaves(out) if isinstance(a, jax.Array) and a.size
     )
     flat = jnp.ravel(leaf)[0]
-    # Convert to float BEFORE multiplying by zero: `int_value * 0` is
-    # constant-folded by XLA (which then dead-code-eliminates the entire
-    # kernel being timed), while `float_value * 0.0` cannot be folded
-    # (NaN/Inf semantics), so the data dependency survives compilation.
-    return flat.astype(jnp.float32) * 0.0
+    # The optimization barrier stops XLA from value-analysing the operand
+    # (`int * 0` folds; even `convert(int) * 0.0` is foldable since the
+    # convert is provably finite) and dead-code-eliminating the entire
+    # kernel being timed.  After the barrier the value is opaque, so the
+    # float multiply survives and the data dependency is real.
+    flat = jax.lax.optimization_barrier(flat.astype(jnp.float32))
+    return flat * 0.0
 
 
 def _perturb(args: tuple, eps: jax.Array) -> tuple:

@@ -20,6 +20,55 @@ import jax
 import jax.numpy as jnp
 
 
+def scatter_rows_dense(
+    values: jax.Array,  # (M, D) or (M,) source values
+    slots: jax.Array,  # (M,) int32 target rows (may repeat; OOB = dropped)
+    valid: jax.Array,  # (M,) bool
+    out_rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense scatter: returns (new_rows (out_rows, D), written (out_rows,)).
+
+    XLA lowers ``x.at[idx].set`` to a scatter op that executes close to
+    serially on TPU (measured ~2 ms per 1024-index scatter — the round-2
+    SLAM-mode bottleneck, hidden from stage microbenchmarks by
+    loop-invariant hoisting).  This reformulation is pure vector work: a
+    (out_rows, M) equality table, an argmax per row to pick a writer
+    (first valid occurrence wins on duplicates), and a row gather.
+    """
+    eff = jnp.where(valid, slots, -1)
+    sel = eff[None, :] == jnp.arange(out_rows, dtype=slots.dtype)[:, None]
+    written = jnp.any(sel, axis=1)  # (out_rows,)
+    # First valid occurrence wins on duplicate slots; with the mask the
+    # selection matrix is one-hot per row, so the "gather" is an MXU matmul
+    # (a row gather costs ~0.3 µs/row on TPU — slower than the matmul).
+    sel_first = sel & (jnp.cumsum(sel, axis=1) == 1)
+    v2 = values[:, None] if values.ndim == 1 else values
+    # float32 matmul is exact for integer payloads < 2^24 (slot indices and
+    # birth counters stay far below that for any realistic sequence).
+    new_rows = jnp.matmul(
+        sel_first.astype(jnp.float32),
+        v2.astype(jnp.float32),
+        precision="highest",
+    )
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        new_rows = jnp.round(new_rows)
+    new_rows = new_rows.astype(v2.dtype)
+    if values.ndim == 1:
+        new_rows = new_rows[:, 0]
+    return new_rows, written
+
+
+def _apply_row_scatter(
+    target: jax.Array,  # (P,) or (P, D)
+    values: jax.Array,  # (M,) or (M, D)
+    slots: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    new_rows, written = scatter_rows_dense(values, slots, valid, target.shape[0])
+    w = written.reshape(written.shape + (1,) * (target.ndim - 1))
+    return jnp.where(w, new_rows, target)
+
+
 class MapState(NamedTuple):
     """World state (pytree).  W = keyframe window capacity, P = point capacity."""
 
@@ -77,15 +126,24 @@ def insert_keyframe(
     """
     enabled = jnp.asarray(enabled)
     slot = m.kf_count % m.window
-    ws = jnp.where(enabled, slot, m.window)  # OOB → dropped
+
+    # Clipped-index row updates select old-vs-new instead of OOB-dropping:
+    # single-index `.at[i].set(..., mode="drop")` still lowers to a scatter
+    # op (near-serial on TPU); a select + in-bounds `.at[i].set` is a
+    # dynamic-update-slice.
+    def row(buf, new):
+        old = buf[slot]
+        e = enabled.reshape((1,) * old.ndim) if old.ndim else enabled
+        return buf.at[slot].set(jnp.where(e, new, old))
+
     return (
         m._replace(
-            kf_R=m.kf_R.at[ws].set(R, mode="drop"),
-            kf_t=m.kf_t.at[ws].set(t, mode="drop"),
-            kf_id=m.kf_id.at[ws].set(jnp.asarray(frame_id, jnp.int32), mode="drop"),
-            kf_valid=m.kf_valid.at[ws].set(True, mode="drop"),
-            obs_uv=m.obs_uv.at[ws].set(0.0, mode="drop"),
-            obs_mask=m.obs_mask.at[ws].set(False, mode="drop"),
+            kf_R=row(m.kf_R, R),
+            kf_t=row(m.kf_t, t),
+            kf_id=row(m.kf_id, jnp.asarray(frame_id, jnp.int32)),
+            kf_valid=row(m.kf_valid, True),
+            obs_uv=row(m.obs_uv, jnp.zeros_like(m.obs_uv[0])),
+            obs_mask=row(m.obs_mask, jnp.zeros_like(m.obs_mask[0])),
             kf_count=m.kf_count + enabled.astype(jnp.int32),
         ),
         jnp.where(enabled, slot, -1),
@@ -102,18 +160,18 @@ def insert_points(
     written.  Returns (new map, (N,) slot indices).  The analog of
     ``Map::insertMapPoint`` (``map.hpp:16``) batched.
     """
-    n = new_points.shape[0]
     # Sequential slots for valid entries, allocated from point_count.
     offsets = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
     slots = (m.point_count + offsets) % m.capacity
-    write_slots = jnp.where(new_valid, slots, m.capacity)  # OOB → dropped
-    points = m.points.at[write_slots].set(new_points, mode="drop")
-    point_valid = m.point_valid.at[write_slots].set(True, mode="drop")
-    point_birth = m.point_birth.at[write_slots].set(
-        m.point_count + offsets, mode="drop"
+    # Dense row writes (see scatter_rows_dense: XLA TPU scatter is ~serial).
+    points = _apply_row_scatter(m.points, new_points, slots, new_valid)
+    _, written = scatter_rows_dense(new_points, slots, new_valid, m.capacity)
+    point_valid = m.point_valid | written
+    point_birth = _apply_row_scatter(
+        m.point_birth, m.point_count + offsets, slots, new_valid
     )
     # Recycled slots lose their old observations.
-    obs_mask = m.obs_mask.at[:, write_slots].set(False, mode="drop")
+    obs_mask = m.obs_mask & ~written[None, :]
     n_new = jnp.sum(new_valid.astype(jnp.int32))
     return (
         m._replace(
@@ -135,11 +193,24 @@ def add_observations(
     uv: jax.Array,
     valid: jax.Array,
 ) -> MapState:
-    """Record pixel observations of ``point_slots`` in keyframe ``kf_slot``."""
-    ps = jnp.where(valid & (point_slots >= 0), point_slots, m.capacity)
+    """Record pixel observations of ``point_slots`` in keyframe ``kf_slot``.
+
+    The per-point write becomes a dense row rebuild + one dynamic row
+    update (single-index ``at[kf_slot]`` lowers to dynamic-update-slice,
+    which is fast — only multi-index scatters are the TPU trap).
+    """
+    ok = valid & (point_slots >= 0)
+    new_uv, written = scatter_rows_dense(uv, point_slots, ok, m.capacity)
+    ks = jnp.clip(kf_slot, 0, m.window - 1)
+    row_uv = jnp.where(written[:, None], new_uv, m.obs_uv[ks])
+    row_mask = m.obs_mask[ks] | written
+    # kf_slot < 0 (disabled) must be a no-op.
+    enabled = kf_slot >= 0
+    row_uv = jnp.where(enabled, row_uv, m.obs_uv[ks])
+    row_mask = jnp.where(enabled, row_mask, m.obs_mask[ks])
     return m._replace(
-        obs_uv=m.obs_uv.at[kf_slot, ps].set(uv, mode="drop"),
-        obs_mask=m.obs_mask.at[kf_slot, ps].set(True, mode="drop"),
+        obs_uv=m.obs_uv.at[ks].set(row_uv),
+        obs_mask=m.obs_mask.at[ks].set(row_mask),
     )
 
 
@@ -272,14 +343,11 @@ def update_map_chunk(
         # --- propagate landmark identity to the current frame ----------------
         k_cap = a.kp_to_point.shape[0]
         carry_ok = mv & (pt_slot >= 0) & (alive | (new_mask & enabled))
-        tw = jnp.where(carry_ok, tc, k_cap)
-        kp_to_point = (
-            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(pt_slot, mode="drop")
-        )
+        slot_rows, written_k = scatter_rows_dense(pt_slot, tc, carry_ok, k_cap)
+        kp_to_point = jnp.where(written_k, slot_rows, -1)
         birth_of = m5.point_birth[jnp.maximum(pt_slot, 0)]
-        kp_birth = (
-            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(birth_of, mode="drop")
-        )
+        birth_rows, _ = scatter_rows_dense(birth_of, tc, carry_ok, k_cap)
+        kp_birth = jnp.where(written_k, birth_rows, -1)
         a2 = AssocState(
             kp_to_point=kp_to_point,
             kp_birth=kp_birth,

@@ -53,15 +53,11 @@ def _map_points_per_keypoint(kps_valid, m_train, point_ok, points3d):
     chunk (the round-1 code built these per keyframe on the host loop).
     """
 
+    from tpuslam.backend.map import scatter_rows_dense
+
     def one(kv, t, ok, X):
-        t_idx = jnp.maximum(t, 0)
-        mp_valid = jnp.zeros(kv.shape[0], bool).at[t_idx].max(ok)
-        mp = (
-            jnp.zeros((kv.shape[0], 3))
-            .at[t_idx]
-            .set(jnp.where(ok[:, None], X, 0.0))
-        )
-        return mp, mp_valid
+        mp_rows, written = scatter_rows_dense(X, t, ok, kv.shape[0])
+        return jnp.where(written[:, None], mp_rows, 0.0), written
 
     mp, mpv = jax.vmap(one)(kps_valid, m_train, point_ok, points3d)
     return mp, mpv
@@ -180,7 +176,7 @@ class SlamSystem:
         n_chunks = -(-n // B)
         pad = n_chunks * B - n
         if pad:
-            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+            frames = np.concatenate([np.asarray(frames), np.repeat(np.asarray(frames[-1:]), pad, 0)])
         valid = (np.arange(n_chunks * B) < n).reshape(n_chunks, B)
         chunks = jnp.asarray(frames.reshape(n_chunks, B, *frames.shape[1:]))
         base = jax.random.PRNGKey(seed)

@@ -37,6 +37,7 @@ from tpuslam.backend.map import (
     add_observations,
     insert_keyframe,
     insert_points,
+    scatter_rows_dense,
 )
 from tpuslam.backend.pnp import ransac_pnp
 
@@ -187,14 +188,11 @@ def pnp_track_chunk(
         # --- propagate landmark identity -------------------------------------
         k_cap = a.kp_to_point.shape[0]
         carry_ok = mv & (pt_slot >= 0) & (obs_alive | new_mask)
-        tw = jnp.where(carry_ok, tc, k_cap)
-        kp_to_point = (
-            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(pt_slot, mode="drop")
-        )
+        slot_rows, written_k = scatter_rows_dense(pt_slot, tc, carry_ok, k_cap)
+        kp_to_point = jnp.where(written_k, slot_rows, -1)
         birth_of = m5.point_birth[jnp.maximum(pt_slot, 0)]
-        kp_birth = (
-            jnp.full((k_cap,), -1, jnp.int32).at[tw].set(birth_of, mode="drop")
-        )
+        birth_rows, _ = scatter_rows_dense(birth_of, tc, carry_ok, k_cap)
+        kp_birth = jnp.where(written_k, birth_rows, -1)
         a2 = AssocState(
             kp_to_point=kp_to_point,
             kp_birth=kp_birth,
