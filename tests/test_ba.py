@@ -54,6 +54,30 @@ def build_synthetic_map(
     return m, (np.stack(Rs), np.stack(ts), X_gt)
 
 
+
+
+def _centers(kf_R, kf_t, n):
+    return np.stack([-np.asarray(kf_R[i]).T @ np.asarray(kf_t[i]) for i in range(n)])
+
+
+def _scale_aligned_center_errors(kf_R, kf_t, C_gt):
+    """Per-pose camera-centre errors after optimal global scale alignment.
+
+    Monocular BA has a global-similarity gauge freedom (bundle_adjust pins
+    the window scale to its INPUT baseline), so raw translation comparisons
+    mix real error with the uncorrectable scale component; aligning a
+    single scale about the anchor removes exactly the gauge direction and
+    nothing else.
+    """
+    n = len(C_gt)
+    C = _centers(kf_R, kf_t, n)
+    d = C - C[0]
+    dg = np.asarray(C_gt) - np.asarray(C_gt)[0]
+    s = float((d * dg).sum() / max((d * d).sum(), 1e-12))
+    Ca = C[0] + s * d
+    return np.linalg.norm(Ca - (np.asarray(C_gt) - np.asarray(C_gt)[0] + C[0]), axis=1)
+
+
 def test_map_insertion():
     m = empty_map(window=4, max_points=64)
     m, s0 = insert_keyframe(m, 0, jnp.eye(3), jnp.zeros(3))
@@ -83,11 +107,12 @@ def test_ba_reduces_cost_and_recovers_geometry():
     m, (R_gt, t_gt, X_gt) = build_synthetic_map()
     res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=15)
     assert float(res.final_cost) < float(res.initial_cost) * 0.1
-    # pose 1..3 should be closer to ground truth after BA
+    # poses 1..3 closer to ground truth after BA (modulo the scale gauge)
+    C_gt = np.stack([-R.T @ t for R, t in zip(R_gt, t_gt)])
+    err_before = _scale_aligned_center_errors(m.kf_R, m.kf_t, C_gt)
+    err_after = _scale_aligned_center_errors(res.map.kf_R, res.map.kf_t, C_gt)
+    assert err_after[1:].mean() < 0.5 * err_before[1:].mean(), (err_before, err_after)
     for i in range(1, 4):
-        t_before = np.asarray(m.kf_t[i])
-        t_after = np.asarray(res.map.kf_t[i])
-        assert np.linalg.norm(t_after - t_gt[i]) < np.linalg.norm(t_before - t_gt[i])
         R_after = np.asarray(res.map.kf_R[i])
         # orthonormality preserved
         np.testing.assert_allclose(R_after @ R_after.T, np.eye(3), atol=1e-4)
@@ -129,8 +154,9 @@ def test_ba_robust_to_outlier_observations():
     m = m._replace(obs_uv=jnp.asarray(obs, jnp.float32))
     res = bundle_adjust(m, jnp.asarray(K, jnp.float32), iterations=15)
     # Huber keeps the solution near ground truth despite outliers
-    for i in range(1, 4):
-        assert np.linalg.norm(np.asarray(res.map.kf_t[i]) - t_gt[i]) < 0.1
+    C_gt = np.stack([-R.T @ t for R, t in zip(R_gt, t_gt)])
+    err = _scale_aligned_center_errors(res.map.kf_R, res.map.kf_t, C_gt)
+    assert (err[1:] < 0.1).all(), err
 
 
 def test_ba_improves_poses_through_pipeline_map_path():
@@ -198,16 +224,46 @@ def test_ba_improves_poses_through_pipeline_map_path():
     def pose_errors(mm):
         kf_R = np.asarray(mm.kf_R)[:B]
         kf_t = np.asarray(mm.kf_t)[:B]
-        rot, trans = [], []
+        rot = []
         for i in range(1, B):
-            R_cw_gt = R_gt[i].T
-            t_cw_gt = -R_cw_gt @ C_gt[i]
-            dR = kf_R[i] @ R_cw_gt.T
+            dR = kf_R[i] @ R_gt[i]  # kf_R is world→cam = R_gtᵀ
             rot.append(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-            trans.append(np.linalg.norm(kf_t[i] - t_cw_gt))
+        trans = _scale_aligned_center_errors(kf_R, kf_t, C_gt)[1:]
         return np.mean(rot), np.mean(trans)
 
     rot0, trans0 = pose_errors(m1)
     rot1, trans1 = pose_errors(ba.map)
     assert rot1 < 0.6 * rot0, f"rotation error {rot0:.5f} -> {rot1:.5f}"
     assert trans1 < 0.6 * trans0, f"translation error {trans0:.4f} -> {trans1:.4f}"
+
+
+def test_closed_form_blocks_match_jacfwd():
+    """The hand-derived Jacobian blocks must equal forward-mode autodiff of
+    the delta parameterisation (the formulation they replaced)."""
+    import jax
+
+    from tpuslam.backend.ba import _residual_with_delta, _project_residual
+    from tpuslam.common.geometry import hat, so3_exp
+
+    key = jax.random.PRNGKey(3)
+    K = jnp.asarray([[700.0, 0, 600.0], [0, 700.0, 180.0], [0, 0, 1.0]])
+    R = so3_exp(jnp.asarray([0.02, -0.1, 0.03]))
+    t = jnp.asarray([0.4, -0.2, 1.5])
+    for i in range(5):
+        X = jax.random.uniform(
+            jax.random.fold_in(key, i), (3,), minval=-3.0, maxval=3.0
+        ) + jnp.asarray([0.0, 0.0, 8.0])
+        uv = jnp.asarray([300.0, 200.0])
+        Ja_ad, Jb_ad = jax.jacfwd(_residual_with_delta, argnums=(0, 1))(
+            jnp.zeros(6), jnp.zeros(3), R, t, X, uv, K
+        )
+        cam = R @ X + t
+        z = jnp.maximum(cam[2], 1e-6)
+        fx, fy = K[0, 0], K[1, 1]
+        j_pi = jnp.asarray(
+            [[fx / z, 0.0, -fx * cam[0] / z**2], [0.0, fy / z, -fy * cam[1] / z**2]]
+        )
+        Ja = jnp.concatenate([-(j_pi @ hat(cam)), j_pi], axis=1)
+        Jb = j_pi @ R
+        np.testing.assert_allclose(np.asarray(Ja), np.asarray(Ja_ad), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Jb), np.asarray(Jb_ad), atol=1e-4)
