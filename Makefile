@@ -17,6 +17,12 @@ bench:
 native:
 	$(MAKE) -C native
 
+# Reproduces the shipped vocabulary: 256 words trained on the fixture
+# corpus itself.  Measured trade-off (round 2): training on an augmented /
+# wider corpus (--augment 6, 512-1024 words) generalises the words but
+# *lowers* BoW retrieval precision on the self-similar indoor fixture
+# (frame-9-vs-frame-0 no longer ranks first) — vocabulary should be trained
+# on domain-representative imagery; use --augment for new domains.
 vocab:
 	JAX_PLATFORMS=cpu $(PY) tools/train_vocabulary.py -o configs/vocabulary.npz \
 		tests/data/images tests/data/images_test_loop2 tests/data/test_images

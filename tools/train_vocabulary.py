@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--max-keypoints", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--augment", type=int, default=0,
+                        help="per-image geometric/photometric variants to add "
+                             "(rotations, scales, flips, gamma) — widens the "
+                             "descriptor distribution beyond the raw corpus")
     args = parser.parse_args(argv)
 
     import cv2
@@ -44,6 +48,29 @@ def main(argv: list[str] | None = None) -> int:
     from tpuslam.frontend.detector import FeatureDetector
 
     det = FeatureDetector(DetectorConfig(max_keypoints=args.max_keypoints))
+
+    def variants(img):
+        yield img
+        if not args.augment:
+            return
+        h, w = img.shape
+        rng = np.random.default_rng(args.seed)
+        ops = []
+        for ang in (-20, -10, 10, 20):
+            M = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 1.0)
+            ops.append(lambda im, M=M: cv2.warpAffine(im, M, (w, h)))
+        for sc in (0.7, 1.4):
+            ops.append(lambda im, sc=sc: cv2.resize(
+                cv2.resize(im, None, fx=sc, fy=sc), (w, h)))
+        ops.append(lambda im: im[:, ::-1].copy())
+        ops.append(lambda im: np.clip(
+            255.0 * (im / 255.0) ** 0.6, 0, 255).astype(np.uint8))
+        ops.append(lambda im: np.clip(
+            255.0 * (im / 255.0) ** 1.6, 0, 255).astype(np.uint8))
+        rng.shuffle(ops)
+        for op in ops[: args.augment]:
+            yield op(img)
+
     corpus = []
     for d in args.dirs:
         for p in sorted(Path(d).iterdir()):
@@ -52,10 +79,13 @@ def main(argv: list[str] | None = None) -> int:
             img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
             if img is None:
                 continue
-            kps, desc = det.detect_and_compute(jnp.asarray(img))
-            mask = np.asarray(kps.valid)
-            corpus.append(np.asarray(desc)[mask])
-            print(f"{p.name}: {mask.sum()} descriptors")
+            n_desc = 0
+            for var in variants(np.asarray(img, np.uint8)):
+                kps, desc = det.detect_and_compute(jnp.asarray(var))
+                mask = np.asarray(kps.valid)
+                corpus.append(np.asarray(desc)[mask])
+                n_desc += int(mask.sum())
+            print(f"{p.name}: {n_desc} descriptors")
     total = sum(len(c) for c in corpus)
     print(f"training on {total} descriptors from {len(corpus)} images → {args.words} words")
     vocab = Vocabulary.fit(corpus, num_words=args.words, iters=args.iters,

@@ -131,9 +131,10 @@ class LoopClosure:
         )
 
     def _add_impl(self, db, keyframe_id, descriptors, xy, kp_valid, map_points,
-                  mp_valid):
+                  mp_valid, bow=None):
         slot = db.count % db.capacity
-        bow = self.vocabulary.transform(descriptors, kp_valid)
+        if bow is None:
+            bow = self.vocabulary.transform(descriptors, kp_valid)
         return KeyframeDB(
             bow=db.bow.at[slot].set(bow),
             xy=db.xy.at[slot].set(xy),
@@ -160,11 +161,12 @@ class LoopClosure:
             key = jax.random.PRNGKey(0)
         return self._detect(db, descriptors, xy, kp_valid, K, key)
 
-    def _detect_impl(self, db, descriptors, xy, kp_valid, K, key):
+    def _detect_impl(self, db, descriptors, xy, kp_valid, K, key, bow_q=None):
         cfg = self.config
         mcfg = self.matcher_config
 
-        bow_q = self.vocabulary.transform(descriptors, kp_valid)  # (W,)
+        if bow_q is None:
+            bow_q = self.vocabulary.transform(descriptors, kp_valid)  # (W,)
         scores = db.bow @ bow_q  # (C,) one matvec over the whole DB
 
         # Gates (reference loop_closure.cpp:111-147): slot must be occupied
@@ -305,15 +307,23 @@ class LoopClosure:
         self, db, frame_ids, enabled, descriptors, xy, kp_valid, map_points,
         mp_valid, K, keys,
     ):
+        # The BoW transforms (Hamming word assignment + TF-IDF) depend only
+        # on each frame's own descriptors, so they run batch-parallel here
+        # instead of once per frame inside the sequential scan.
+        bow_det = jax.vmap(self.vocabulary.transform)(
+            descriptors, kp_valid & enabled[:, None]
+        )
+        bow_add = jax.vmap(self.vocabulary.transform)(descriptors, kp_valid)
+
         def step(db, xs):
-            fid, en, d, x, kv, mp, mpv, key = xs
-            res = self._detect_impl(db, d, x, kv & en, K, key)
+            fid, en, d, x, kv, mp, mpv, key, bq, ba = xs
+            res = self._detect_impl(db, d, x, kv & en, K, key, bow_q=bq)
             res = res._replace(
                 success=res.success & en,
                 matched_keyframe_id=jnp.where(en, res.matched_keyframe_id, -1),
                 candidate_id=jnp.where(en, res.candidate_id, -1),
             )
-            db2 = self._add_impl(db, fid, d, x, kv, mp, mpv)
+            db2 = self._add_impl(db, fid, d, x, kv, mp, mpv, bow=ba)
             db = jax.tree.map(
                 lambda new, old: jnp.where(
                     jnp.reshape(en, (1,) * new.ndim), new, old
@@ -327,5 +337,5 @@ class LoopClosure:
             step,
             db,
             (frame_ids, enabled, descriptors, xy, kp_valid, map_points,
-             mp_valid, keys),
+             mp_valid, keys, bow_det, bow_add),
         )
