@@ -68,20 +68,23 @@ def sequence_sharding(mesh: Mesh, axis_name: str = "seq") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def shard_batched_pipeline(pipeline, mesh: Mesh, axis_name: str = "seq"):
-    """Build a jitted multi-sequence chunk step sharded over ``mesh``.
+def shard_vmapped_step(chunk_fn, mesh: Mesh, state_template: Any,
+                       axis_name: str = "seq"):
+    """Shard a per-sequence chunk function over the mesh's sequence axis.
 
-    Returns ``step(frames (S, B, H, W) u8, valid (S, B), states (S-stacked
-    VoState), keys (S, 2)) → (results, new states)`` where every argument and
-    result is sharded on its leading sequence axis.  S must be a multiple of
-    the mesh size.
+    ``chunk_fn(frames (B, H, W), valid (B,), state, key)`` becomes
+    ``step(frames (S, B, H, W), valid (S, B), states (S-stacked), keys
+    (S, 2)) → (results, new states)`` with every argument and result
+    sharded on its leading sequence axis.  Per-sequence state (including a
+    persistent map in PnP mode) stays fully local to its device, so XLA
+    inserts no collectives on the hot path.
     """
     seq_sharding = sequence_sharding(mesh, axis_name)
 
     def spec_like(tree: Any):
         return jax.tree.map(lambda _: seq_sharding, tree)
 
-    vmapped = jax.vmap(pipeline._process_chunk)
+    vmapped = jax.vmap(chunk_fn)
 
     def step(frames, valid, states, keys):
         frames = jax.lax.with_sharding_constraint(frames, seq_sharding)
@@ -89,6 +92,13 @@ def shard_batched_pipeline(pipeline, mesh: Mesh, axis_name: str = "seq"):
 
     return jax.jit(
         step,
-        in_shardings=(seq_sharding, seq_sharding, spec_like(pipeline.initial_state()),
+        in_shardings=(seq_sharding, seq_sharding, spec_like(state_template),
                       seq_sharding),
+    )
+
+
+def shard_batched_pipeline(pipeline, mesh: Mesh, axis_name: str = "seq"):
+    """Jitted multi-sequence VO chunk step sharded over ``mesh``."""
+    return shard_vmapped_step(
+        pipeline._process_chunk, mesh, pipeline.initial_state(), axis_name
     )
