@@ -161,15 +161,28 @@ def insert_points(
     ``Map::insertMapPoint`` (``map.hpp:16``) batched.
     """
     # Sequential slots for valid entries, allocated from point_count.
+    n = new_points.shape[0]
     offsets = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
     slots = (m.point_count + offsets) % m.capacity
-    # Dense row writes (see scatter_rows_dense: XLA TPU scatter is ~serial).
-    points = _apply_row_scatter(m.points, new_points, slots, new_valid)
-    _, written = scatter_rows_dense(new_points, slots, new_valid, m.capacity)
+    # The allocated slots form a contiguous (mod-capacity) window of ≤ n
+    # rows starting at point_count, so the dense-scatter equality tables
+    # only need n output rows (4× smaller than full capacity here); the
+    # window lands in the ring via roll → blit → roll-back, all cheap
+    # vector ops (see scatter_rows_dense for why not scatter).
+    w0 = m.point_count % m.capacity
+    blk_pts, blk_written = scatter_rows_dense(new_points, offsets, new_valid, n)
+    blk_birth, _ = scatter_rows_dense(m.point_count + offsets, offsets, new_valid, n)
+
+    def blit(target, block, written_col):
+        rolled = jnp.roll(target, -w0, axis=0)
+        w = written_col.reshape((n,) + (1,) * (target.ndim - 1))
+        head = jnp.where(w, block, rolled[:n])
+        return jnp.roll(jnp.concatenate([head, rolled[n:]], axis=0), w0, axis=0)
+
+    points = blit(m.points, blk_pts, blk_written)
+    point_birth = blit(m.point_birth, blk_birth, blk_written)
+    written = blit(m.point_valid & False, blk_written, blk_written)
     point_valid = m.point_valid | written
-    point_birth = _apply_row_scatter(
-        m.point_birth, m.point_count + offsets, slots, new_valid
-    )
     # Recycled slots lose their old observations.
     obs_mask = m.obs_mask & ~written[None, :]
     n_new = jnp.sum(new_valid.astype(jnp.int32))
