@@ -261,7 +261,10 @@ def estimate_relative_pose(
     E_best_l = E_cur
     msac_best_l = msac[top_h]
     rows_b = jnp.broadcast_to(rows_all, (L, *rows_all.shape))
-    for mult in (16.0, 4.0, 1.0, 1.0):
+    # Annealed band 16× → 4× → 1×; a fourth repeat round at 1× measured no
+    # quality change (pose tests + ATE parity identical) and costs a full
+    # refit chain.
+    for mult in (16.0, 4.0, 1.0):
         e2, den = sampson_error_sq(E_cur, x1, x2, with_denom=True)  # (L, M)
         w = jnp.where((e2 < mult * thr) & valid[None, :], 1.0, 0.0)
         w = w / jnp.sqrt(jnp.maximum(den, 1e-18))
