@@ -267,3 +267,50 @@ def test_closed_form_blocks_match_jacfwd():
         Jb = j_pi @ R
         np.testing.assert_allclose(np.asarray(Ja), np.asarray(Ja_ad), atol=1e-4)
         np.testing.assert_allclose(np.asarray(Jb), np.asarray(Jb_ad), atol=1e-4)
+
+
+def test_active_window_compaction_matches_full():
+    """BA over the compacted active-point block must equal BA over the full
+    capacity grid when every observed point fits the budget — compaction is
+    a pure layout change, not an approximation (and >4× less Hessian work
+    at 4096-slot capacity).  Points outside the active set must not move."""
+    m, _ = build_synthetic_map(capacity=512)
+    K_j = jnp.asarray(K, jnp.float32)
+    full = bundle_adjust(m, K_j, iterations=6, active_points=None)
+    compact = bundle_adjust(m, K_j, iterations=6, active_points=256)
+    np.testing.assert_allclose(
+        np.asarray(full.map.kf_R), np.asarray(compact.map.kf_R), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.map.kf_t), np.asarray(compact.map.kf_t), atol=2e-4
+    )
+    pv = np.asarray(m.point_valid)
+    # einsum accumulation order differs between the 512- and 256-slot
+    # grids, so float32 drift compounds over the LM iterations — the
+    # comparison is layout-equivalence, not bit-equality
+    np.testing.assert_allclose(
+        np.asarray(full.map.points)[pv],
+        np.asarray(compact.map.points)[pv],
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        float(full.final_cost), float(compact.final_cost), rtol=1e-3
+    )
+    # untouched slots (never observed, invalid) keep their buffer contents
+    np.testing.assert_array_equal(
+        np.asarray(full.map.points)[~pv], np.asarray(compact.map.points)[~pv]
+    )
+
+
+def test_compaction_budget_overflow_keeps_leftovers():
+    """With a budget smaller than the observed-point count, the selected
+    block optimises and every unselected point keeps its exact value."""
+    m, _ = build_synthetic_map(n_points=200, capacity=512)
+    K_j = jnp.asarray(K, jnp.float32)
+    ba = bundle_adjust(m, K_j, iterations=4, active_points=128)
+    moved = ~np.isclose(
+        np.asarray(ba.map.points), np.asarray(m.points), atol=1e-7
+    ).all(axis=1)
+    assert moved.sum() <= 128
+    assert moved.sum() > 64  # the budgeted block did optimise
+    assert float(ba.final_cost) <= float(ba.initial_cost)

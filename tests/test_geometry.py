@@ -134,3 +134,20 @@ def test_hamming_matrix_paths_agree():
                 ^ int.from_bytes(bnp[j].tobytes(), "big")
             ).count("1")
     np.testing.assert_array_equal(m_mxu, oracle)
+
+
+def test_nullvec_minimal_exact():
+    """MGS minimal-system nullvector: exact (residual ~1e-7) on random
+    8×9 systems, matching the Jacobi solver's subspace."""
+    import numpy as np
+
+    from tpuslam.common.geometry import nullvec_minimal
+
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(0, 0.5, (64, 8, 9)).astype(np.float32))
+    v = nullvec_minimal(A)
+    res = jnp.linalg.norm(jnp.einsum("bmn,bn->bm", A, v), axis=-1)
+    assert float(jnp.max(res)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(v, axis=-1)), 1.0, atol=1e-5
+    )

@@ -74,7 +74,7 @@ def _cost(R, t, points, obs_uv, obs_mask, K, huber: float) -> jax.Array:
     return jnp.sum(jnp.where(obs_mask, c, 0.0))
 
 
-@partial(jax.jit, static_argnames=("iterations", "fix_first_pose"))
+@partial(jax.jit, static_argnames=("iterations", "fix_first_pose", "active_points"))
 def bundle_adjust(
     m: MapState,
     K: jax.Array,
@@ -83,14 +83,46 @@ def bundle_adjust(
     huber_px: float = 2.0,
     init_lambda: float = 1e-3,
     fix_first_pose: bool = True,
+    active_points: int | None = 1024,
 ) -> BAResult:
-    """Optimise keyframe poses and points in place (functional)."""
+    """Optimise keyframe poses and points in place (functional).
+
+    ``active_points``: compact the optimisation to this many *observed*
+    points.  The dense (W, P-capacity) observation grid is the right layout
+    for accumulating observations, but the LM loop's Hessian einsums scale
+    linearly in P — at 4096-slot capacity with only a few hundred observed
+    points, >75% of every einsum was dead work (the round-2 SLAM-mode
+    bottleneck).  Observed slots are gathered into a dense block once before
+    the loop and scattered back once after; any observed points beyond the
+    budget keep their values (they simply aren't optimised this window).
+    ``None`` disables compaction.
+    """
     Kf = K.astype(jnp.float32)
     W = m.window
-    P = m.capacity
     huber = jnp.float32(huber_px)
 
-    mask = m.obs_mask & m.kf_valid[:, None] & m.point_valid[None, :]
+    full_mask = m.obs_mask & m.kf_valid[:, None] & m.point_valid[None, :]
+    _ba_input = m
+
+    if active_points is not None and active_points < m.capacity:
+        seen_full = jnp.any(full_mask, axis=0)  # (P,)
+        # Indices of (up to) active_points observed slots; top_k on the
+        # 0/1 mask is stable, so real slots come first in ascending order.
+        _, act_idx = jax.lax.top_k(seen_full.astype(jnp.int32), active_points)
+        act_valid = seen_full[act_idx]
+        points_full = m.points
+        m = m._replace(
+            points=m.points[act_idx],
+            point_valid=m.point_valid[act_idx] & act_valid,
+            point_birth=m.point_birth[act_idx],
+            obs_uv=jnp.take(m.obs_uv, act_idx, axis=1),
+            obs_mask=jnp.take(m.obs_mask, act_idx, axis=1) & act_valid[None, :],
+        )
+        mask = full_mask[:, act_idx] & act_valid[None, :]
+    else:
+        act_idx = None
+        mask = full_mask
+    P = m.capacity
 
     def blocks(R, t, X, uv):
         """Closed-form Jacobian blocks of the residual at delta = 0.
@@ -123,21 +155,23 @@ def bundle_adjust(
         jax.vmap(blocks, in_axes=(None, None, 0, 0)), in_axes=(0, 0, None, 0)
     )
 
-    zero6 = jnp.zeros((W, 6), jnp.float32)
-    # Freeze pose 0 (gauge) by masking its updates.
-    pose_free = jnp.ones((W,), jnp.float32)
-    if fix_first_pose:
-        pose_free = pose_free.at[0].set(0.0)
-
     # Monocular scale gauge: freezing one pose leaves a global-similarity
-    # null direction (scale the world about pose 0's centre and every
-    # reprojection is unchanged), along which LM drifts freely.  Each
+    # null direction (scale the world about the frozen pose's centre and
+    # every reprojection is unchanged), along which LM drifts freely.  Each
     # candidate is renormalised so the baseline between the two oldest
     # keyframes keeps its input length — a pure gauge transform, so the
     # cost is untouched.
     big = jnp.iinfo(jnp.int32).max
     order = jnp.argsort(jnp.where(m.kf_valid, m.kf_id, big))
     g0, g1 = order[0], order[1]
+
+    # Freeze the OLDEST valid keyframe (gauge) by masking its updates — the
+    # same keyframe the scale renorm is centred on.  Anchoring both to g0
+    # (rather than ring slot 0) keeps the frozen pose genuinely fixed once
+    # the window wraps and slot 0 no longer holds the oldest keyframe.
+    pose_free = jnp.ones((W,), jnp.float32)
+    if fix_first_pose:
+        pose_free = jnp.where(jnp.arange(W) == g0, 0.0, 1.0)
 
     def centers(R, t):
         return -jnp.einsum("wji,wj->wi", R, t, precision="highest")
@@ -150,7 +184,6 @@ def bundle_adjust(
     gauge_ok = (
         jnp.sum(m.kf_valid.astype(jnp.int32)) >= 2
     ) & (b0 > 1e-6) & bool(fix_first_pose)
-    seen_pts = jnp.any(mask, axis=0)  # unobserved points must never move
 
     def renorm_scale(R, t, X):
         s = jnp.where(gauge_ok, b0 / jnp.maximum(baseline(R, t), 1e-9), 1.0)
@@ -158,7 +191,10 @@ def bundle_adjust(
         C0 = C[g0]
         C_new = C0 + s * (C - C0)
         t_new = -jnp.einsum("wij,wj->wi", R, C_new, precision="highest")
-        X_new = jnp.where(seen_pts[:, None], C0 + s * (X - C0), X)
+        # The gauge transform is applied to EVERY valid point (unobserved
+        # ones included) so the whole map stays at one consistent scale;
+        # LM deltas themselves still move only observed points.
+        X_new = jnp.where(m.point_valid[:, None], C0 + s * (X - C0), X)
         return t_new, X_new
 
     def lm_step(carry, _):
@@ -231,8 +267,18 @@ def bundle_adjust(
     carry, _ = jax.lax.scan(lm_step, carry, None, length=iterations)
     R, t, X, _, final_cost = carry
 
+    if act_idx is not None:
+        # Scatter the optimised block back into the full point buffer
+        # (dense-table scatter; TPU multi-index scatters are ~serial).
+        from tpuslam.backend.map import _apply_row_scatter
+
+        points_out = _apply_row_scatter(points_full, X, act_idx, act_valid)
+        out_map = _ba_input._replace(kf_R=R, kf_t=t, points=points_out)
+    else:
+        out_map = m._replace(kf_R=R, kf_t=t, points=X)
+
     return BAResult(
-        map=m._replace(kf_R=R, kf_t=t, points=X),
+        map=out_map,
         initial_cost=init_cost,
         final_cost=final_cost,
         iterations=jnp.asarray(iterations, jnp.int32),

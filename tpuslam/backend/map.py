@@ -43,15 +43,23 @@ def scatter_rows_dense(
     # (a row gather costs ~0.3 µs/row on TPU — slower than the matmul).
     sel_first = sel & (jnp.cumsum(sel, axis=1) == 1)
     v2 = values[:, None] if values.ndim == 1 else values
-    # float32 matmul is exact for integer payloads < 2^24 (slot indices and
-    # birth counters stay far below that for any realistic sequence).
-    new_rows = jnp.matmul(
-        sel_first.astype(jnp.float32),
-        v2.astype(jnp.float32),
-        precision="highest",
-    )
     if jnp.issubdtype(values.dtype, jnp.integer):
-        new_rows = jnp.round(new_rows)
+        # Integer payloads (slots, birth counters) must stay exact for any
+        # value — a float32 matmul rounds above 2^24, which would corrupt
+        # birth ids after ~110k frames.  The selection is one-hot per row,
+        # so a masked max over the already-materialised (out_rows, M) table
+        # is exact for all int32 and stays vector work (no row gather).
+        lo = jnp.iinfo(v2.dtype).min
+        new_rows = jnp.max(
+            jnp.where(sel_first[:, :, None], v2[None, :, :], lo), axis=1
+        )
+        new_rows = jnp.where(written[:, None], new_rows, 0)
+    else:
+        new_rows = jnp.matmul(
+            sel_first.astype(jnp.float32),
+            v2.astype(jnp.float32),
+            precision="highest",
+        )
     new_rows = new_rows.astype(v2.dtype)
     if values.ndim == 1:
         new_rows = new_rows[:, 0]
@@ -251,7 +259,7 @@ def empty_assoc(max_keypoints: int) -> AssocState:
     )
 
 
-@partial(jax.jit, static_argnames=("gate_px",))
+@partial(jax.jit, static_argnames=("gate_px", "min_cand_depth"))
 def update_map_chunk(
     m: MapState,
     assoc: AssocState,
@@ -267,6 +275,7 @@ def update_map_chunk(
     points3d_cur: jax.Array,  # (B, M, 3) — current-camera-frame triangulations
     point_ok: jax.Array,  # (B, M) bool
     gate_px: float = 8.0,
+    min_cand_depth: float = 0.2,
 ) -> tuple[MapState, AssocState]:
     """Fold one chunk of frames into the map with landmark re-association.
 
@@ -310,7 +319,7 @@ def update_map_chunk(
         z_cand = Xc_cand[:, 2]
         pix = Xc_cand @ K.T
         uv_pred = pix[:, :2] / jnp.maximum(pix[:, 2:3], 1e-9)
-        gate = (z_cand > 0.2) & (
+        gate = (z_cand > min_cand_depth) & (
             jnp.sum((uv_pred - uv_cur) ** 2, axis=-1) < gate_px * gate_px
         )
         alive = alive & gate
@@ -342,7 +351,7 @@ def update_map_chunk(
         z_prev = Xc_prev[:, 2]
         pix_p = Xc_prev @ K.T
         uv_pred_p = pix_p[:, :2] / jnp.maximum(pix_p[:, 2:3], 1e-9)
-        gate_p = (z_prev > 0.2) & (
+        gate_p = (z_prev > min_cand_depth) & (
             jnp.sum((uv_pred_p - uv_prev) ** 2, axis=-1) < gate_px * gate_px
         )
         m5 = add_observations(

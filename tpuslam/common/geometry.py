@@ -106,6 +106,53 @@ def nullvec_jacobi(A: jax.Array, sweeps: int = 8) -> jax.Array:
     return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
 
 
+def nullvec_minimal(A: jax.Array) -> jax.Array:
+    """Exact nullvector of a *minimal* system (m = n−1 rows), batched.
+
+    Modified Gram-Schmidt orthonormalises the m rows (m sequential but fully
+    vectorised steps — vs. sweeps × n(n−1)/2 ≈ 108 dependent steps for the
+    Jacobi path at n = 9), then two fixed probe vectors are orthogonalised
+    against the row space; the larger residual is the nullvector (both
+    probes lying in an (n−1)-dim row space is measure-zero, and degenerate
+    samples produce garbage hypotheses under any solver — MSAC ranks them
+    out).  Unlike eigh(AᵀA) nothing squares the condition number.  For
+    minimal RANSAC samples this is both faster *and* more accurate than
+    truncated Jacobi (exact vs. 3-sweep approximation).
+    """
+    m, n = A.shape[-2:]
+    assert m < n, "nullvec_minimal needs an underdetermined system"
+    Q = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-30)
+    arange_m = jnp.arange(m)
+    for k in range(m):
+        qk = Q[..., k, :]
+        qk = qk / jnp.maximum(jnp.linalg.norm(qk, axis=-1, keepdims=True), 1e-30)
+        proj = jnp.einsum("...mn,...n->...m", Q, qk)
+        mask = (arange_m > k)[..., :, None]
+        Q = jnp.where(mask, Q - proj[..., :, None] * qk[..., None, :], Q)
+        Q = Q.at[..., k, :].set(qk)
+    # Two fixed probes (deterministic, generic directions), orthogonalised
+    # against the row space; residual norms decide which survives.
+    probes = []
+    base = jnp.stack(
+        [
+            jnp.sin(0.7 + 1.3 * jnp.arange(n, dtype=A.dtype)),
+            jnp.cos(0.3 + 2.1 * jnp.arange(n, dtype=A.dtype)),
+        ]
+    )  # (2, n)
+    for i in range(2):
+        b = jnp.broadcast_to(base[i], A.shape[:-2] + (n,))
+        coef = jnp.einsum("...mn,...n->...m", Q, b)
+        r = b - jnp.einsum("...m,...mn->...n", coef, Q)
+        # second MGS pass for float32 orthogonality
+        coef2 = jnp.einsum("...mn,...n->...m", Q, r)
+        probes.append(r - jnp.einsum("...m,...mn->...n", coef2, Q))
+    r1, r2 = probes
+    n1 = jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    n2 = jnp.linalg.norm(r2, axis=-1, keepdims=True)
+    v = jnp.where(n1 >= n2, r1, r2)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
 def smallest_eigvec(ata: jax.Array) -> jax.Array:
     """Eigenvector for the smallest eigenvalue of a batched symmetric matrix.
 

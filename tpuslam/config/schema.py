@@ -209,7 +209,7 @@ class PoseConfig:
     one shot instead of iterating adaptively.
     """
 
-    num_hypotheses: int = 2048
+    num_hypotheses: int = 1024
     sample_size: int = 8
     inlier_threshold_px: float = 1.0
     min_matches: int = 8  # reference pose_estimator.cpp:22-26
@@ -227,11 +227,59 @@ class PoseConfig:
     def from_yaml(cls, path: str | Path) -> "PoseConfig":
         doc = load_opencv_yaml(path)
         return cls(
-            num_hypotheses=int(_get(doc, "NumHypotheses", 2048)),
+            num_hypotheses=int(_get(doc, "NumHypotheses", 1024)),
             sample_size=int(_get(doc, "SampleSize", 8)),
             inlier_threshold_px=float(_get(doc, "InlierThresholdPx", 1.0)),
             min_matches=int(_get(doc, "MinMatches", 8)),
             seed=int(_get(doc, "Seed", 0)),
+        )
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Map / landmark-association / backend gating configuration (``map.yml``).
+
+    The reference's ``Map`` is a header-only skeleton with no parameters
+    (``include/slam/backend/map.hpp:9-21``), so these keys are TPU-side
+    additions following the reference's YAML-everything discipline.  The
+    defaults are tuned for KITTI-scale outdoor forward motion; indoor or
+    synthetic scenes (different flow magnitudes, different depth ranges in
+    unit-baseline triangulation units) should ship their own ``map.yml``.
+    """
+
+    # Reprojection gate (px) for trusting a chained landmark association.
+    assoc_gate_px: float = 8.0
+    # Unit-baseline triangulation depth window for creating new landmarks.
+    min_triangulation_depth: float = 0.5
+    max_triangulation_depth: float = 80.0
+    # Cheirality floor for association candidates (predicted camera-frame z).
+    min_candidate_depth: float = 0.2
+    # Pose-graph weight of a loop edge relative to odometry edges.
+    loop_edge_weight: float = 10.0
+
+    def __post_init__(self) -> None:
+        if self.assoc_gate_px <= 0.0:
+            raise ValueError("'AssocGatePx' must be positive.")
+        if self.min_triangulation_depth <= 0.0:
+            raise ValueError("'MinTriangulationDepth' must be positive.")
+        if self.max_triangulation_depth <= self.min_triangulation_depth:
+            raise ValueError(
+                "'MaxTriangulationDepth' must exceed 'MinTriangulationDepth'."
+            )
+        if self.min_candidate_depth <= 0.0:
+            raise ValueError("'MinCandidateDepth' must be positive.")
+        if self.loop_edge_weight <= 0.0:
+            raise ValueError("'LoopEdgeWeight' must be positive.")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "MapConfig":
+        doc = load_opencv_yaml(path)
+        return cls(
+            assoc_gate_px=float(_get(doc, "AssocGatePx", 8.0)),
+            min_triangulation_depth=float(_get(doc, "MinTriangulationDepth", 0.5)),
+            max_triangulation_depth=float(_get(doc, "MaxTriangulationDepth", 80.0)),
+            min_candidate_depth=float(_get(doc, "MinCandidateDepth", 0.2)),
+            loop_edge_weight=float(_get(doc, "LoopEdgeWeight", 10.0)),
         )
 
 
@@ -243,6 +291,7 @@ class SlamConfig:
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     pose: PoseConfig = field(default_factory=PoseConfig)
+    map: MapConfig = field(default_factory=MapConfig)
     frame_skip: int = 0
     batch_size: int = 16
     max_map_points: int = 8192
@@ -263,5 +312,6 @@ class SlamConfig:
                 "loop_closure.yml", LoopClosureConfig.from_yaml, LoopClosureConfig()
             ),
             pose=maybe("pose_estimator.yml", PoseConfig.from_yaml, PoseConfig()),
+            map=maybe("map.yml", MapConfig.from_yaml, MapConfig()),
             **overrides,
         )

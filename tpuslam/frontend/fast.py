@@ -199,9 +199,11 @@ def select_keypoints(
     key = _packed_key(score, keep)
     tile = window
     n_tiles = -(-h // tile) * (-(-w // tile))
-    # Exact index recovery out of the packed key needs an unshifted index
-    # (images ≤ 2^20 px); tiny images fall back to the flat path.
-    if nms and tile >= 2 and n <= (1 << _IDX_BITS) and n_tiles >= max_keypoints:
+    # Exact index recovery out of the packed key needs an unshifted index:
+    # _packed_key starts shifting at n ≥ 2^20 (its guard is on n, not n−1),
+    # so the strict bound keeps this path off for exactly-2^20-pixel images;
+    # tiny images fall back to the flat path.
+    if nms and tile >= 2 and n < (1 << _IDX_BITS) and n_tiles >= max_keypoints:
         pooled = jax.lax.reduce_window(
             key, jnp.uint32(0), jax.lax.max,
             window_dimensions=(tile, 1), window_strides=(tile, 1),

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from tpuslam.common.geometry import (
     normalize_points,
     nullvec_jacobi,
+    nullvec_minimal,
     orthonormalize_rotation,
     triangulate_homogeneous,
 )
@@ -67,6 +68,7 @@ def _solve_e_from_rows(
     weights: jax.Array | None = None,
     project: bool = True,
     sweeps: int = 5,
+    method: str = "jacobi",
 ) -> jax.Array:
     """Least-squares essential matrix from constraint rows.
 
@@ -80,7 +82,10 @@ def _solve_e_from_rows(
     """
     if weights is not None:
         rows = rows * weights[..., None]
-    e = nullvec_jacobi(rows, sweeps=sweeps)  # (..., 9)
+    if method == "minimal":
+        e = nullvec_minimal(rows)  # (..., 9) exact, m = n−1 rows only
+    else:
+        e = nullvec_jacobi(rows, sweeps=sweeps)  # (..., 9)
     E = e.reshape(*e.shape[:-1], 3, 3)
     if not project:
         return E
@@ -222,7 +227,9 @@ def estimate_relative_pose(
     # Minimal-sample hypotheses only need to *rank* well — the top-L models
     # are re-solved over all inliers by the LO rounds below at full sweep
     # count — so 3 Jacobi sweeps suffice here (measured: identical winners
-    # and rotation errors, ~0.15 ms/frame less sequential-rotation chain).
+    # and rotation errors).  An exact MGS minimal solver (nullvec_minimal)
+    # measures 25% faster standalone but 1.8× SLOWER fused into this
+    # program (XLA fusion interaction) — keep Jacobi here.
     E_hyp = _solve_e_from_rows(rows, project=False, sweeps=3)  # (H, 3, 3)
 
     # --- score all hypotheses (MSAC: truncated-loss sum) ----------------------

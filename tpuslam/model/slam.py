@@ -237,12 +237,13 @@ class SlamPipeline:
         )
         z_prev = X_prev[..., 2]
         z_cur = X_cur[..., 2]
+        mapc = self.config.map
         point_ok = (
             res.inliers
             & mvalid
-            & (z_prev > 0.5)
-            & (z_prev < 80.0)
-            & (z_cur > 0.5)
+            & (z_prev > mapc.min_triangulation_depth)
+            & (z_prev < mapc.max_triangulation_depth)
+            & (z_cur > mapc.min_triangulation_depth)
             & res.success[:, None]
         )
         return kps, desc, match, mvalid, res, pts1, pts2, X_prev, X_cur, point_ok
@@ -382,6 +383,8 @@ class SlamPipeline:
             X_cur,
             X_prev[..., 2],
             point_ok,
+            gate_px=self.config.map.assoc_gate_px,
+            min_cand_depth=self.config.map.min_candidate_depth,
         )
 
         n_real = jnp.sum(frame_valid.astype(jnp.int32))

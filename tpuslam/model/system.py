@@ -121,6 +121,8 @@ class SlamSystem:
                 m, a, K, fids, kf_mask, result.poses, result.pose_ok,
                 result.kps_xy, result.m_query, result.m_train, result.m_valid,
                 result.points3d, result.point_ok,
+                gate_px=self.config.map.assoc_gate_px,
+                min_cand_depth=self.config.map.min_candidate_depth,
             )
             kf_enabled = kf_mask & (result.pose_ok | (fids == 0))
             out = {
@@ -243,9 +245,7 @@ class SlamSystem:
                         "final_cost": float(costs[c, 1]),
                     }
                 )
-                chunk_list = [poses]
-                self._apply_ba_snapshot(snapshot, chunk_list)
-                poses = chunk_list[0]
+                poses = self._apply_ba_snapshot(snapshot, poses)
 
         pose_graph_applied = False
         if self.enable_pose_graph and loops and len(kf_fids) >= 2:
@@ -313,7 +313,19 @@ class SlamSystem:
             kf_mask = (fids_full % self.keyframe_interval == 0) & (
                 np.arange(B) < n
             )
-            rec = {"result": result, "n": n, "fids": fids_full, "kf_mask": kf_mask}
+            # Keep ONLY the fields the end-of-stream conversion loop reads.
+            # Retaining the full ChunkResult (descriptors, keypoints, 3D
+            # points) would pin ~1.5 MB of device buffers per chunk for the
+            # whole run — an OOM on unbounded streams.
+            rec = {
+                "poses": result.poses,
+                "num_matches": result.num_matches,
+                "num_inliers": result.num_inliers,
+                "pose_ok": result.pose_ok,
+                "n": n,
+                "fids": fids_full,
+                "kf_mask": kf_mask,
+            }
 
             # ---- map: keyframes + landmarks + associations, one dispatch ----
             world_map, assoc = update_map_chunk(
@@ -330,6 +342,8 @@ class SlamSystem:
                 result.m_valid,
                 result.points3d,
                 result.point_ok,
+                gate_px=self.config.map.assoc_gate_px,
+                min_cand_depth=self.config.map.min_candidate_depth,
             )
 
             # ---- loop closure: detect + insert the whole chunk, ONE dispatch
@@ -354,7 +368,12 @@ class SlamSystem:
                     self._K,
                     jax.random.split(sub2, B),
                 )
-                rec["loop"] = lres
+                rec["loop"] = {
+                    "success": lres.success,
+                    "matched_keyframe_id": lres.matched_keyframe_id,
+                    "num_inliers": lres.num_inliers,
+                    "relative_transform": lres.relative_transform,
+                }
 
             # ---- windowed bundle adjustment (once per chunk when due) ------
             kf_expected_since_ba += int(kf_mask.sum())
@@ -379,24 +398,25 @@ class SlamSystem:
         poses_np: list[np.ndarray] = []
         loops: list[dict] = []
         ba_events: list[dict] = []
+        ba_snapshots: list[dict] = []
         stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
         kf_fids: list[int] = []
         for rec in records:
-            result, n, fids_full = rec["result"], rec["n"], rec["fids"]
-            poses_np.append(np.array(result.poses[:n]))
-            stats["num_matches"].append(np.asarray(result.num_matches)[:n])
-            stats["num_inliers"].append(np.asarray(result.num_inliers)[:n])
-            pose_ok_np = np.asarray(result.pose_ok)
+            n, fids_full = rec["n"], rec["fids"]
+            poses_np.append(np.array(rec["poses"][:n]))
+            stats["num_matches"].append(np.asarray(rec["num_matches"])[:n])
+            stats["num_inliers"].append(np.asarray(rec["num_inliers"])[:n])
+            pose_ok_np = np.asarray(rec["pose_ok"])
             stats["pose_ok"].append(pose_ok_np[:n])
             kf_enabled = rec["kf_mask"] & (pose_ok_np | (fids_full == 0))
             kf_fids.extend(int(f) for f in fids_full[kf_enabled])
             if "loop" in rec:
                 lres = rec["loop"]
-                success_np = np.asarray(lres.success)
+                success_np = np.asarray(lres["success"])
                 if success_np.any():
-                    matched = np.asarray(lres.matched_keyframe_id)
-                    n_inl = np.asarray(lres.num_inliers)
-                    T_rel = np.asarray(lres.relative_transform)
+                    matched = np.asarray(lres["matched_keyframe_id"])
+                    n_inl = np.asarray(lres["num_inliers"])
+                    T_rel = np.asarray(lres["relative_transform"])
                     for b in np.nonzero(success_np)[0]:
                         loops.append(
                             {
@@ -415,9 +435,13 @@ class SlamSystem:
                         "final_cost": float(ba["final_cost"]),
                     }
                 )
-                self._apply_ba_snapshot(ba, poses_np)
+                ba_snapshots.append(ba)
 
         all_poses = np.concatenate(poses_np) if poses_np else np.zeros((0, 4, 4))
+        # BA events fold into the full trajectory in event order so each
+        # window's correction also reaches the frames chained after it.
+        for snap in ba_snapshots:
+            all_poses = self._apply_ba_snapshot(snap, all_poses)
         pose_graph_applied = False
         if self.enable_pose_graph and loops and len(kf_fids) >= 2:
             all_poses = self._apply_pose_graph(all_poses, kf_fids, loops)
@@ -460,7 +484,7 @@ class SlamSystem:
             T = np.asarray(lp["relative_transform"], np.float64)
             T_rel = np.linalg.inv(T)
             g = add_edge(g, slot, cand, query, jnp.asarray(T_rel, jnp.float32),
-                         weight=10.0)
+                         weight=self.config.map.loop_edge_weight)
             slot += 1
             n_loop_edges += 1
         if n_loop_edges == 0:
@@ -479,21 +503,37 @@ class SlamSystem:
         return corrected
 
     @staticmethod
-    def _apply_ba_snapshot(snapshot: dict, poses: list[np.ndarray]) -> None:
-        """Write optimized keyframe poses back into the trajectory chunks."""
+    def _apply_ba_snapshot(snapshot: dict, all_poses: np.ndarray) -> np.ndarray:
+        """Fold optimized keyframe poses into the trajectory, corrections forward.
+
+        Each optimized keyframe overwrites its own trajectory entry, and every
+        frame after it — up to the next optimized keyframe, or the end of the
+        trajectory for the newest one — inherits its rigid correction
+        ``T_f ← T_k_opt · T_k_orig⁻¹ · T_f`` (the same forward folding
+        ``_apply_pose_graph`` does).  Without the propagation, frames chained
+        past the BA window continue from uncorrected carries and the written
+        trajectory jumps at the window boundary.
+        """
         kf_ids = np.asarray(snapshot["kf_id"])
         kf_valid = np.asarray(snapshot["kf_valid"])
         R = np.asarray(snapshot["kf_R"])
         t = np.asarray(snapshot["kf_t"])
-        # flatten view over chunk list
-        offsets = np.cumsum([0] + [len(p) for p in poses])
-        for slot in np.nonzero(kf_valid)[0]:
-            fid = int(kf_ids[slot])
-            chunk = int(np.searchsorted(offsets, fid, side="right") - 1)
-            local = fid - offsets[chunk]
-            if chunk >= len(poses) or local >= len(poses[chunk]):
-                continue
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = R[slot].T  # cam→world
-            T[:3, 3] = -R[slot].T @ t[slot]
-            poses[chunk][local] = T
+        n = len(all_poses)
+        items = sorted(
+            (int(kf_ids[s]), int(s))
+            for s in np.nonzero(kf_valid)[0]
+            if 0 <= kf_ids[s] < n
+        )
+        if not items:
+            return all_poses
+        corrected = all_poses.copy()
+        for i, (fid, slot) in enumerate(items):
+            end = items[i + 1][0] if i + 1 < len(items) else n
+            T_opt = np.eye(4, dtype=np.float64)
+            T_opt[:3, :3] = R[slot].T  # cam→world
+            T_opt[:3, 3] = -R[slot].T @ t[slot]
+            corr = T_opt @ np.linalg.inv(np.asarray(all_poses[fid], np.float64))
+            corrected[fid:end] = np.einsum(
+                "ij,fjk->fik", corr, np.asarray(all_poses[fid:end], np.float64)
+            ).astype(all_poses.dtype)
+        return corrected

@@ -47,6 +47,7 @@ class TrackChunkResult(NamedTuple):
     pnp_ok: jax.Array  # (B,) bool — PnP produced this frame's pose
     num_pnp_inliers: jax.Array  # (B,) int32
     scale: jax.Array  # (B,) float32 — metric baseline applied to the pair
+    num_assoc: jax.Array  # (B,) int32 — live landmark associations fed to PnP
 
 
 def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
@@ -59,7 +60,10 @@ def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("pnp_hypotheses", "pnp_min_inliers", "gate_px"),
+    static_argnames=(
+        "pnp_hypotheses", "pnp_min_inliers", "pnp_min_inlier_frac",
+        "pnp_min_coverage", "gate_px", "min_cand_depth",
+    ),
 )
 def pnp_track_chunk(
     m: MapState,
@@ -82,7 +86,10 @@ def pnp_track_chunk(
     *,
     pnp_hypotheses: int = 64,
     pnp_min_inliers: int = 12,
+    pnp_min_inlier_frac: float = 0.4,
+    pnp_min_coverage: float = 0.4,
     gate_px: float = 8.0,
+    min_cand_depth: float = 0.2,
 ) -> tuple[TrackChunkResult, MapState, AssocState, jax.Array]:
     """Track a chunk of frames against the map; returns poses + new state.
 
@@ -137,7 +144,27 @@ def pnp_track_chunk(
         T_rel_fb = _pose_from_rt(Rr, tr * s_fb)  # T_prev_cur
         T_fb = T_prev @ T_rel_fb
 
-        pnp_ok = pnp.success & fv
+        # A PnP solve that explains only a small fraction of the live
+        # associations is a mis-solve on noisy landmarks, not a pose: the
+        # absolute inlier floor alone let 18-of-76-inlier "successes"
+        # override a good two-view fallback (measured 2.4× worse speed-
+        # profile tracking on the variable-speed scene).  Require the
+        # inliers to cover a minimum fraction of what PnP was given.
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        frac_ok = pnp.num_inliers.astype(jnp.float32) >= (
+            pnp_min_inlier_frac * n_alive.astype(jnp.float32)
+        )
+        # Map-coverage gate: when the live landmarks explain only a small
+        # fraction of the frame's matches, absolute PnP is fitting a thin,
+        # noisy subset while the fallback pools a robust median over the
+        # full match set — prefer the fallback (measured: PnP poses from
+        # ~25%-coverage maps tracked a 2× speed change 10× worse than the
+        # map-anchored fallback on the variable-speed scene).
+        n_match = jnp.sum(mv.astype(jnp.int32))
+        cov_ok = n_alive.astype(jnp.float32) >= (
+            pnp_min_coverage * jnp.maximum(n_match, 1).astype(jnp.float32)
+        )
+        pnp_ok = pnp.success & frac_ok & cov_ok & fv
         T_cur = jnp.where(pnp_ok, T_pnp, jnp.where(vok & fv, T_fb, T_prev))
 
         # --- metric scale actually applied to this pair ----------------------
@@ -153,11 +180,11 @@ def pnp_track_chunk(
         # --- map update (same gating as update_map_chunk) --------------------
         enabled = fv & ((pnp_ok | vok) | (m.kf_count == 0))
         R_cw_c = jnp.swapaxes(T_cur[:3, :3], 0, 1)
-        Xc_cand = (X_map - T_cur[:3, 3][None, :]) @ jnp.swapaxes(R_cw_c, 0, 1).T
+        Xc_cand = (X_map - T_cur[:3, 3][None, :]) @ R_cw_c.T
         z_cand = Xc_cand[:, 2]
         pix = Xc_cand @ K.T
         uv_pred = pix[:, :2] / jnp.maximum(pix[:, 2:3], 1e-9)
-        gate = (z_cand > 0.2) & (
+        gate = (z_cand > min_cand_depth) & (
             jnp.sum((uv_pred - uv_cur) ** 2, axis=-1) < gate_px * gate_px
         )
         obs_alive = alive & gate
@@ -178,7 +205,7 @@ def pnp_track_chunk(
         Xc_prev = X_world @ m4.kf_R[pks].T + m4.kf_t[pks][None, :]
         pix_p = Xc_prev @ K.T
         uv_pred_p = pix_p[:, :2] / jnp.maximum(pix_p[:, 2:3], 1e-9)
-        gate_p = (Xc_prev[:, 2] > 0.2) & (
+        gate_p = (Xc_prev[:, 2] > min_cand_depth) & (
             jnp.sum((uv_pred_p - uv_prev) ** 2, axis=-1) < gate_px * gate_px
         )
         m5 = add_observations(
@@ -199,10 +226,11 @@ def pnp_track_chunk(
             prev_kf_slot=jnp.where(enabled, kf_slot, jnp.asarray(-1, jnp.int32)),
             prev_xy=xy,
         )
-        out = (T_cur, pnp_ok, pnp.num_inliers, s_used)
+        out = (T_cur, pnp_ok, pnp.num_inliers, s_used,
+               jnp.sum(alive.astype(jnp.int32)))
         return (m5, a2, T_cur), out
 
-    (m_out, a_out, T_last), (poses, pnp_ok, n_inl, scale) = jax.lax.scan(
+    (m_out, a_out, T_last), (poses, pnp_ok, n_inl, scale, n_assoc) = jax.lax.scan(
         step,
         (m, assoc, T_prev0),
         (
@@ -223,7 +251,8 @@ def pnp_track_chunk(
     )
     return (
         TrackChunkResult(
-            poses=poses, pnp_ok=pnp_ok, num_pnp_inliers=n_inl, scale=scale
+            poses=poses, pnp_ok=pnp_ok, num_pnp_inliers=n_inl, scale=scale,
+            num_assoc=n_assoc,
         ),
         m_out,
         a_out,
