@@ -159,3 +159,92 @@ def test_run_sequence_matches_streaming_run(data_dir):
         staged["poses"], streaming["poses"], atol=1e-4
     )
     assert len(staged["ba_events"]) == len(streaming["ba_events"])
+
+
+@pytest.fixture(scope="module")
+def pnp_system(data_dir):
+    """Map-centric composition: PnP tracking against the SAME map BA
+    optimises (the reference's declared shared-Map architecture,
+    backend.hpp:13-17 + map.hpp:9-21, composed end-to-end)."""
+    cam = Camera.from_yaml(CONFIGS / "camera.yml")
+    cfg = SlamConfig(
+        detector=DetectorConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio_test_threshold=0.8),
+        pose=PoseConfig(num_hypotheses=1024, inlier_threshold_px=2.0),
+        batch_size=5,
+    )
+    return SlamSystem(
+        cam,
+        cfg,
+        vocabulary=CONFIGS / "vocabulary.npz",
+        tracking="pnp",
+        ba_window=8,
+        ba_interval=3,
+        ba_iterations=5,
+        max_map_points=4096,
+    )
+
+
+def test_pnp_slam_tracks_and_builds_map(pnp_system, data_dir):
+    stream = FrameStream(data_dir / "images")
+    result = pnp_system.run(stream.batches(5))
+    assert result["poses"].shape == (10, 4, 4)
+    pos = result["poses"][:, :3, 3]
+    assert pos[-1, 2] > 6.0
+    assert np.abs(pos[:, :2]).max() < 0.7
+    m = result["map"]
+    assert int(np.asarray(m.kf_count)) == 10
+    nobs = np.asarray(m.obs_mask).sum(axis=0)
+    pv = np.asarray(m.point_valid)
+    observed = pv & (nobs > 0)
+    assert observed.sum() > 100
+    assert len(result["ba_events"]) >= 1
+    for ev in result["ba_events"]:
+        assert ev["final_cost"] <= ev["initial_cost"] * 1.001
+
+
+def test_pnp_slam_loop_closure_endpoint(pnp_system, system, loop_sequence_dir):
+    """Out-and-back in PnP-SLAM mode: loop closure fires, and the corrected
+    end-point error is no worse than the VO-SLAM mode's (the map-centric
+    composition must not regress the trajectory quality)."""
+    stream = FrameStream(loop_sequence_dir)
+    result = pnp_system.run(stream.batches(5))
+    assert result["poses"].shape == (19, 4, 4)
+    assert len(result["loops"]) >= 1, "no loop closures detected in PnP-SLAM"
+    lp = result["loops"][-1]
+    assert lp["frame_id"] >= 12
+    assert lp["matched_keyframe_id"] <= 6
+    assert result["pose_graph_applied"]
+
+    vo_result = system.run(FrameStream(loop_sequence_dir).batches(5))
+
+    def end_error(res):
+        pos = res["poses"][:, :3, 3]
+        return np.linalg.norm(pos[-1] - pos[0]) / max(
+            np.linalg.norm(pos[9] - pos[0]), 1e-9
+        )
+
+    e_pnp = end_error(result)
+    e_vo = end_error(vo_result)
+    assert e_pnp <= max(e_vo * 1.05, 0.05), (e_pnp, e_vo)
+
+
+def test_pnp_slam_run_sequence_matches_streaming(data_dir):
+    camera = Camera.from_yaml(CONFIGS / "camera.yml")
+    config = SlamConfig.from_yaml_dir(CONFIGS, batch_size=5)
+    sysm = SlamSystem(
+        camera,
+        config,
+        vocabulary=CONFIGS / "vocabulary.npz",
+        tracking="pnp",
+        ba_interval=3,
+    )
+    stream = FrameStream(data_dir / "images")
+    streaming = sysm.run(stream.batches(5))
+    frames = np.stack(
+        [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    )
+    staged = sysm.run_sequence(frames)
+    assert staged["poses"].shape == streaming["poses"].shape
+    np.testing.assert_allclose(staged["poses"], streaming["poses"], atol=1e-4)
+    assert len(staged["ba_events"]) == len(streaming["ba_events"])

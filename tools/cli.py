@@ -57,10 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="write final map/trajectory checkpoint (.npz)")
     parser.add_argument("--resume", default=None,
                         help="resume from a --save-state checkpoint: restores "
-                             "the tracking state and continues the stream at "
-                             "the saved frame index (VO/PnP modes; per-frame "
-                             "PRNG keys make the result identical to an "
-                             "uninterrupted run)")
+                             "the tracking state (plus map/keyframe-DB/BA/"
+                             "loop state in --slam mode) and continues the "
+                             "stream at the saved frame index; the result is "
+                             "identical to an uninterrupted run at the same "
+                             "batch size")
     parser.add_argument("--plot", default=None,
                         help="write a top-down trajectory plot PNG")
     parser.add_argument("--debug", action="store_true")
@@ -87,8 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         from tpuslam.model.system import SlamSystem
 
         vocab = args.vocabulary or (cfg_dir / "vocabulary.npz")
-        pipeline = SlamSystem(camera, config, vocabulary=vocab)
-        log.info("Full SLAM mode (vocabulary: %s)", vocab)
+        pipeline = SlamSystem(
+            camera, config, vocabulary=vocab, tracking=args.tracking
+        )
+        log.info(
+            "Full SLAM mode, %s tracking (vocabulary: %s)", args.tracking, vocab
+        )
     else:
         pipeline = SlamPipeline(camera, config, tracking=args.tracking)
     stream = FrameStream(args.stream, frame_skip=args.frame_skip)
@@ -96,25 +101,29 @@ def main(argv: list[str] | None = None) -> int:
 
     resume_state = None
     resume_poses = None
+    slam_resume = None
     start_frame = 0
     if args.resume:
-        if args.slam:
-            raise SystemExit("--resume supports VO/PnP modes (not --slam yet)")
         from tpuslam.utils.checkpoint import load_state
 
-        template = (
-            pipeline.initial_pnp_state()
-            if args.tracking == "pnp"
-            else pipeline.initial_state()
-        )
         import numpy as _np
 
-        loaded = load_state(
-            args.resume, state=template, trajectory=_np.zeros((0, 4, 4))
-        )
-        resume_state = loaded["state"]
-        resume_poses = _np.asarray(loaded["trajectory"])
-        start_frame = len(resume_poses)
+        if args.slam:
+            loaded = load_state(args.resume, slam=pipeline.checkpoint_template())
+            slam_resume = loaded["slam"]
+            start_frame = int(_np.asarray(slam_resume["counters"])[0])
+        else:
+            template = (
+                pipeline.initial_pnp_state()
+                if args.tracking == "pnp"
+                else pipeline.initial_state()
+            )
+            loaded = load_state(
+                args.resume, state=template, trajectory=_np.zeros((0, 4, 4))
+            )
+            resume_state = loaded["state"]
+            resume_poses = _np.asarray(loaded["trajectory"])
+            start_frame = len(resume_poses)
         log.info("Resuming at frame %d from %s", start_frame, args.resume)
 
     t0 = time.time()
@@ -133,7 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     elif not args.slam:
         result = pipeline.run(batches, initial_state=resume_state)
     else:
-        result = pipeline.run(batches)
+        # SLAM resume payloads already contain the prior trajectory; the
+        # returned poses cover the whole run.
+        result = pipeline.run(batches, resume=slam_resume)
     if resume_poses is not None:
         import numpy as _np
 
@@ -152,11 +163,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.save_state:
         from tpuslam.utils.checkpoint import save_state
 
-        states = {"trajectory": result["poses"]}
         if args.slam:
-            states["map"] = result["map"]
-        elif "state" in result:
-            states["state"] = result["state"]
+            states = {"slam": result["checkpoint"]}
+        else:
+            states = {"trajectory": result["poses"]}
+            if "state" in result:
+                states["state"] = result["state"]
         save_state(args.save_state, **states)
         log.info("State checkpoint written to %s", args.save_state)
     if args.plot:

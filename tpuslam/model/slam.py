@@ -120,6 +120,9 @@ class SlamPipeline:
         self._chunk_full_fn = jax.jit(partial(self._process_chunk, with_features=True))
         self._sequence_fn = jax.jit(self.process_sequence)
         self._chunk_pnp_fn = jax.jit(self._process_chunk_pnp)
+        self._chunk_pnp_full_fn = jax.jit(
+            partial(self._process_chunk_pnp, with_features=True)
+        )
         self._sequence_pnp_fn = jax.jit(self.process_sequence_pnp)
 
     # --- state ----------------------------------------------------------------
@@ -356,6 +359,7 @@ class SlamPipeline:
         frame_valid: jax.Array,
         state: PnpState,
         key: jax.Array,
+        with_features: bool = False,
     ) -> tuple[ChunkResult, PnpState]:
         from tpuslam.model.tracking import pnp_track_chunk
 
@@ -398,6 +402,20 @@ class SlamPipeline:
             prev_depth=state.vo.prev_depth,  # unused in PnP mode
             prev_depth_valid=state.vo.prev_depth_valid,
         )
+        extra = {}
+        if with_features:
+            extra = dict(
+                kps_xy=kps.xy,
+                kps_valid=kps.valid,
+                desc=desc,
+                m_query=match.query_idx,
+                m_train=match.train_idx,
+                m_valid=mvalid,
+                # current-camera coords at the metric baseline the tracker
+                # actually applied to each pair (map-consistent scale)
+                points3d=X_cur * track.scale[:, None, None],
+                point_ok=point_ok,
+            )
         result = ChunkResult(
             poses=track.poses,
             num_matches=jnp.sum(mvalid.astype(jnp.int32), axis=-1),
@@ -405,6 +423,7 @@ class SlamPipeline:
                 track.pnp_ok, track.num_pnp_inliers, res.num_inliers
             ),
             pose_ok=track.pnp_ok | res.success,
+            **extra,
         )
         return result, PnpState(vo=new_vo, map=m_out, assoc=a_out)
 

@@ -68,6 +68,14 @@ class SlamSystem:
     camera: Camera
     config: SlamConfig
     vocabulary: Vocabulary | str | Path | None = None
+    # "vo" chains scaled two-view poses; "pnp" is the reference's declared
+    # Map-centric architecture composed end-to-end: tracking consumes the
+    # SAME persistent landmark map the backend optimises (``backend.hpp:
+    # 13-17`` + mutex-shared ``Map``, ``map.hpp:9-21``) — BA's optimized
+    # window folds straight back into the tracking carry.  In PnP mode
+    # every valid frame is a keyframe (the map must stay current), so
+    # ``keyframe_interval`` applies to VO mode only.
+    tracking: str = "vo"
     keyframe_interval: int = 1
     ba_window: int = 8
     ba_interval: int = 4
@@ -80,7 +88,15 @@ class SlamSystem:
     enable_pose_graph: bool = True
 
     def __post_init__(self) -> None:
-        self.pipeline = SlamPipeline(self.camera, self.config)
+        if self.tracking not in ("vo", "pnp"):
+            raise ValueError(f"unknown tracking mode {self.tracking!r}")
+        self.pipeline = SlamPipeline(
+            self.camera,
+            self.config,
+            tracking=self.tracking,
+            map_window=self.ba_window,
+            max_map_points=self.max_map_points,
+        )
         self._K = jnp.asarray(self.camera.K, jnp.float32)
         self.loop_closure = None
         if self.enable_loop_closure and self.vocabulary is not None:
@@ -88,6 +104,46 @@ class SlamSystem:
                 self.vocabulary, self.config.loop_closure, self.config.matcher
             )
         self._sequence_jit = jax.jit(self._sequence_impl)
+
+    # --- shared backend stages --------------------------------------------------
+    def _lc_chunk(self, db, fids, kf_enabled, result, key2, B):
+        mp, mpv = _map_points_per_keypoint(
+            result.kps_valid, result.m_train, result.point_ok, result.points3d
+        )
+        return self.loop_closure._process_chunk_impl(
+            db, fids, kf_enabled, result.desc, result.kps_xy,
+            result.kps_valid, mp, mpv, self._K, jax.random.split(key2, B),
+        )
+
+    def _ba_cond(self, m, since_ba):
+        """BA under ``lax.cond`` when the keyframe counter reaches the
+        interval; returns (map, initial_cost, final_cost, ran)."""
+
+        def do_ba(m_in):
+            ba = bundle_adjust(m_in, self._K, iterations=self.ba_iterations)
+            return ba.map, ba.initial_cost, ba.final_cost, jnp.asarray(True)
+
+        def no_ba(m_in):
+            return m_in, jnp.float32(0), jnp.float32(0), jnp.asarray(False)
+
+        return jax.lax.cond(since_ba >= self.ba_interval, do_ba, no_ba, m)
+
+    @staticmethod
+    def _refreshed_pose(m, ran, fallback_pose):
+        """T_world_cam of the newest keyframe in the (BA-optimised) window.
+
+        This is what closes the reference's shared-Map loop: after the
+        backend optimises, the tracker's chain pose continues from the
+        *optimised* newest keyframe instead of the raw one.
+        """
+        slot = (m.kf_count - 1) % m.window
+        R_cw = m.kf_R[slot]
+        C = -jnp.einsum("ji,j->i", R_cw, m.kf_t[slot], precision="highest")
+        top = jnp.concatenate([R_cw.T, C[:, None]], axis=1)
+        T_opt = jnp.concatenate(
+            [top, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+        )
+        return jnp.where(ran & m.kf_valid[slot], T_opt, fallback_pose)
 
     # --- one-dispatch sequence program -----------------------------------------
     def _sequence_impl(self, chunks, chunk_valid, carry0, keys):
@@ -106,25 +162,36 @@ class SlamSystem:
         lc = self.loop_closure
         K = self._K
         kfi = self.keyframe_interval
+        pnp_mode = self.tracking == "pnp"
 
         def step(carry, xs):
-            vo, m, a, db, since_ba = carry
             frames, valid, key = xs
             key1, key2 = jax.random.split(key)
-            result, vo2 = self.pipeline._process_chunk(
-                frames, valid, vo, key1, with_features=True
-            )
             B = frames.shape[0]
-            fids = vo.frame_idx + jnp.arange(B, dtype=jnp.int32)
-            kf_mask = ((fids % kfi) == 0) & valid
-            m2, a2 = update_map_chunk(
-                m, a, K, fids, kf_mask, result.poses, result.pose_ok,
-                result.kps_xy, result.m_query, result.m_train, result.m_valid,
-                result.points3d, result.point_ok,
-                gate_px=self.config.map.assoc_gate_px,
-                min_cand_depth=self.config.map.min_candidate_depth,
-            )
-            kf_enabled = kf_mask & (result.pose_ok | (fids == 0))
+            if pnp_mode:
+                st, db, since_ba = carry
+                fids = st.vo.frame_idx + jnp.arange(B, dtype=jnp.int32)
+                result, st2 = self.pipeline._process_chunk_pnp(
+                    frames, valid, st, key1, with_features=True
+                )
+                # every valid tracked frame is a keyframe in PnP mode
+                kf_enabled = valid & (result.pose_ok | (fids == 0))
+                m2 = st2.map
+            else:
+                vo, m, a, db, since_ba = carry
+                fids = vo.frame_idx + jnp.arange(B, dtype=jnp.int32)
+                result, vo2 = self.pipeline._process_chunk(
+                    frames, valid, vo, key1, with_features=True
+                )
+                kf_mask = ((fids % kfi) == 0) & valid
+                m2, a2 = update_map_chunk(
+                    m, a, K, fids, kf_mask, result.poses, result.pose_ok,
+                    result.kps_xy, result.m_query, result.m_train,
+                    result.m_valid, result.points3d, result.point_ok,
+                    gate_px=self.config.map.assoc_gate_px,
+                    min_cand_depth=self.config.map.min_candidate_depth,
+                )
+                kf_enabled = kf_mask & (result.pose_ok | (fids == 0))
             out = {
                 "poses": result.poses,
                 "pose_ok": result.pose_ok,
@@ -133,26 +200,12 @@ class SlamSystem:
                 "kf_enabled": kf_enabled,
             }
             if lc is not None:
-                mp, mpv = _map_points_per_keypoint(
-                    result.kps_valid, result.m_train, result.point_ok,
-                    result.points3d,
-                )
-                db, out["loop"] = lc._process_chunk_impl(
-                    db, fids, kf_enabled, result.desc, result.kps_xy,
-                    result.kps_valid, mp, mpv, K, jax.random.split(key2, B),
+                db, out["loop"] = self._lc_chunk(
+                    db, fids, kf_enabled, result, key2, B
                 )
             since_ba = since_ba + jnp.sum(kf_enabled.astype(jnp.int32))
             if self.enable_ba:
-                def do_ba(m_in):
-                    ba = bundle_adjust(m_in, K, iterations=self.ba_iterations)
-                    return ba.map, ba.initial_cost, ba.final_cost, jnp.asarray(True)
-
-                def no_ba(m_in):
-                    return m_in, jnp.float32(0), jnp.float32(0), jnp.asarray(False)
-
-                m2, c0, c1, ran = jax.lax.cond(
-                    since_ba >= self.ba_interval, do_ba, no_ba, m2
-                )
+                m2, c0, c1, ran = self._ba_cond(m2, since_ba)
                 since_ba = jnp.where(ran, 0, since_ba)
                 out["ba_ran"] = ran
                 out["ba_costs"] = jnp.stack([c0, c1])
@@ -160,6 +213,16 @@ class SlamSystem:
                 out["ba_kf_valid"] = m2.kf_valid & ran
                 out["ba_kf_R"] = m2.kf_R
                 out["ba_kf_t"] = m2.kf_t
+            if pnp_mode:
+                # Shared-Map feedback: the optimised window *is* the map the
+                # next chunk tracks against, and the chain pose continues
+                # from the optimised newest keyframe.
+                if self.enable_ba:
+                    pose2 = self._refreshed_pose(m2, ran, st2.vo.pose)
+                    st2 = st2._replace(
+                        map=m2, vo=st2.vo._replace(pose=pose2)
+                    )
+                return (st2, db, since_ba), out
             return (vo2, m2, a2, db, since_ba), out
 
         carry, outs = jax.lax.scan(step, carry0, (chunks, chunk_valid, keys))
@@ -194,13 +257,20 @@ class SlamSystem:
             if self.loop_closure is not None
             else jnp.zeros(())
         )
-        carry0 = (
-            self.pipeline.initial_state(),
-            empty_map(self.ba_window, self.max_map_points),
-            empty_assoc(self.config.detector.max_keypoints),
-            db,
-            jnp.asarray(0, jnp.int32),
-        )
+        if self.tracking == "pnp":
+            carry0 = (
+                self.pipeline.initial_pnp_state(),
+                db,
+                jnp.asarray(0, jnp.int32),
+            )
+        else:
+            carry0 = (
+                self.pipeline.initial_state(),
+                empty_map(self.ba_window, self.max_map_points),
+                empty_assoc(self.config.detector.max_keypoints),
+                db,
+                jnp.asarray(0, jnp.int32),
+            )
         carry, outs = self._sequence_jit(
             chunks, jnp.asarray(valid), carry0, keys
         )
@@ -255,17 +325,60 @@ class SlamSystem:
             "poses": poses,
             "loops": loops,
             "ba_events": ba_events,
-            "map": carry[1],
+            "map": carry[0].map if self.tracking == "pnp" else carry[1],
             "pose_graph_applied": pose_graph_applied,
             "num_matches": np.asarray(outs["num_matches"]).reshape(-1)[:n],
             "num_inliers": np.asarray(outs["num_inliers"]).reshape(-1)[:n],
             "pose_ok": pose_ok,
         }
 
+    def checkpoint_template(self) -> dict:
+        """Structure template for :func:`tpuslam.utils.checkpoint.load_state`.
+
+        Array shapes are placeholders — only the tree structure matters for
+        deserialisation (saved shapes come from the .npz itself).
+        """
+        if self.tracking == "pnp":
+            state = self.pipeline.initial_pnp_state()
+        else:
+            state = self.pipeline.initial_state()
+        db = (
+            self.loop_closure.new_db(
+                self.config.detector.max_keypoints,
+                self.config.detector.descriptor_bytes,
+            )
+            if self.loop_closure is not None
+            else jnp.zeros(())
+        )
+        z = np.zeros
+        return {
+            "carry_state": state,
+            "world_map": empty_map(self.ba_window, self.max_map_points),
+            "assoc": empty_assoc(self.config.detector.max_keypoints),
+            "db": db,
+            "counters": z(3, np.int64),
+            "raw_poses": z((0, 4, 4), np.float32),
+            "stats_matches": z(0, np.int32),
+            "stats_inliers": z(0, np.int32),
+            "stats_pose_ok": z(0, bool),
+            "kf_fids": z(0, np.int32),
+            "loops_frame": z(0, np.int32),
+            "loops_matched": z(0, np.int32),
+            "loops_ninl": z(0, np.int32),
+            "loops_T": z((0, 4, 4), np.float32),
+            "ba_frame": z(0, np.int32),
+            "ba_costs": z((0, 2), np.float32),
+            "ba_kf_id": z((0, self.ba_window), np.int32),
+            "ba_kf_valid": z((0, self.ba_window), bool),
+            "ba_kf_R": z((0, self.ba_window, 3, 3), np.float32),
+            "ba_kf_t": z((0, self.ba_window, 3), np.float32),
+        }
+
     def run(
         self,
         frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
         seed: int = 0,
+        resume: dict | None = None,
     ) -> dict:
         """Stream frames through tracking + map + loop closure + BA.
 
@@ -278,24 +391,45 @@ class SlamSystem:
         the schedule by one chunk); its optimized keyframe poses are folded
         into the trajectory in event order at the end, which commutes with
         the incremental folding it replaces.
+
+        ``resume``: a ``result["checkpoint"]`` payload from a previous run
+        (deserialised against :meth:`checkpoint_template`).  The stream must
+        continue at the saved frame counter (``counters[0]``) with the same
+        batch size; keys are chunk-indexed, BA/pose-graph folding is
+        deferred to the end of the *final* segment, and the saved raw
+        trajectory/loop/BA state is prepended — so a split run reproduces
+        the uninterrupted run exactly.
         """
-        state = self.pipeline.initial_state()
-        key = jax.random.PRNGKey(seed)
-        world_map = empty_map(self.ba_window, self.max_map_points)
-        assoc = empty_assoc(self.config.detector.max_keypoints)
-        db = (
-            self.loop_closure.new_db(
-                self.config.detector.max_keypoints,
-                self.config.detector.descriptor_bytes,
+        pnp_mode = self.tracking == "pnp"
+        if resume is not None:
+            state = resume["carry_state"]
+            world_map = resume["world_map"]
+            assoc = resume["assoc"]
+            db = resume["db"] if self.loop_closure is not None else None
+            frame_id, chunk_idx, kf_expected_since_ba = (
+                int(x) for x in np.asarray(resume["counters"])
             )
-            if self.loop_closure is not None
-            else None
-        )
+        else:
+            if pnp_mode:
+                state = self.pipeline.initial_pnp_state()
+            else:
+                state = self.pipeline.initial_state()
+            world_map = empty_map(self.ba_window, self.max_map_points)
+            assoc = empty_assoc(self.config.detector.max_keypoints)
+            db = (
+                self.loop_closure.new_db(
+                    self.config.detector.max_keypoints,
+                    self.config.detector.descriptor_bytes,
+                )
+                if self.loop_closure is not None
+                else None
+            )
+            frame_id = 0
+            kf_expected_since_ba = 0
+            chunk_idx = 0
+        key = jax.random.PRNGKey(seed)
 
         records: list[dict] = []
-        frame_id = 0
-        kf_expected_since_ba = 0
-        chunk_idx = 0
 
         from tpuslam.pre.stream import device_prefetch
 
@@ -304,15 +438,23 @@ class SlamSystem:
             k_chunk = jax.random.fold_in(key, chunk_idx)
             chunk_idx += 1
             sub, sub_lc = jax.random.split(k_chunk)
-            result, state = self.pipeline._chunk_full_fn(
+            chunk_fn = (
+                self.pipeline._chunk_pnp_full_fn
+                if pnp_mode
+                else self.pipeline._chunk_full_fn
+            )
+            result, state = chunk_fn(
                 jnp.asarray(frames), jnp.asarray(valid), state, sub
             )
             n = int(valid.sum())
             B = result.poses.shape[0]
             fids_full = np.arange(frame_id, frame_id + B, dtype=np.int32)
-            kf_mask = (fids_full % self.keyframe_interval == 0) & (
-                np.arange(B) < n
-            )
+            if pnp_mode:
+                kf_mask = np.arange(B) < n  # every tracked frame
+            else:
+                kf_mask = (fids_full % self.keyframe_interval == 0) & (
+                    np.arange(B) < n
+                )
             # Keep ONLY the fields the end-of-stream conversion loop reads.
             # Retaining the full ChunkResult (descriptors, keypoints, 3D
             # points) would pin ~1.5 MB of device buffers per chunk for the
@@ -328,23 +470,27 @@ class SlamSystem:
             }
 
             # ---- map: keyframes + landmarks + associations, one dispatch ----
-            world_map, assoc = update_map_chunk(
-                world_map,
-                assoc,
-                self._K,
-                jnp.asarray(fids_full),
-                jnp.asarray(kf_mask),
-                result.poses,
-                result.pose_ok,
-                result.kps_xy,
-                result.m_query,
-                result.m_train,
-                result.m_valid,
-                result.points3d,
-                result.point_ok,
-                gate_px=self.config.map.assoc_gate_px,
-                min_cand_depth=self.config.map.min_candidate_depth,
-            )
+            # (PnP mode folds the map inside the tracking chunk itself.)
+            if pnp_mode:
+                world_map = state.map
+            else:
+                world_map, assoc = update_map_chunk(
+                    world_map,
+                    assoc,
+                    self._K,
+                    jnp.asarray(fids_full),
+                    jnp.asarray(kf_mask),
+                    result.poses,
+                    result.pose_ok,
+                    result.kps_xy,
+                    result.m_query,
+                    result.m_train,
+                    result.m_valid,
+                    result.points3d,
+                    result.point_ok,
+                    gate_px=self.config.map.assoc_gate_px,
+                    min_cand_depth=self.config.map.min_candidate_depth,
+                )
 
             # ---- loop closure: detect + insert the whole chunk, ONE dispatch
             if self.loop_closure is not None and db is not None:
@@ -382,6 +528,15 @@ class SlamSystem:
                     world_map, self._K, iterations=self.ba_iterations
                 )
                 world_map = ba.map
+                if pnp_mode:
+                    # shared-Map feedback: tracking continues against the
+                    # optimised landmarks, from the optimised newest pose
+                    pose2 = self._refreshed_pose(
+                        world_map, jnp.asarray(True), state.vo.pose
+                    )
+                    state = state._replace(
+                        map=world_map, vo=state.vo._replace(pose=pose2)
+                    )
                 rec["ba"] = {
                     "initial_cost": ba.initial_cost,
                     "final_cost": ba.final_cost,
@@ -437,22 +592,123 @@ class SlamSystem:
                 )
                 ba_snapshots.append(ba)
 
-        all_poses = np.concatenate(poses_np) if poses_np else np.zeros((0, 4, 4))
+        # ---- prepend the resumed segment's raw accumulations ----------------
+        if resume is not None:
+            poses_np.insert(0, np.asarray(resume["raw_poses"], np.float32))
+            stats["num_matches"].insert(0, np.asarray(resume["stats_matches"]))
+            stats["num_inliers"].insert(0, np.asarray(resume["stats_inliers"]))
+            stats["pose_ok"].insert(0, np.asarray(resume["stats_pose_ok"]))
+            kf_fids = [int(f) for f in np.asarray(resume["kf_fids"])] + kf_fids
+            prior_loops = [
+                {
+                    "frame_id": int(f),
+                    "matched_keyframe_id": int(m),
+                    "num_inliers": int(ninl),
+                    "relative_transform": np.asarray(T),
+                }
+                for f, m, ninl, T in zip(
+                    np.asarray(resume["loops_frame"]),
+                    np.asarray(resume["loops_matched"]),
+                    np.asarray(resume["loops_ninl"]),
+                    np.asarray(resume["loops_T"]),
+                )
+            ]
+            loops = prior_loops + loops
+            prior_snaps = [
+                {
+                    "kf_id": np.asarray(resume["ba_kf_id"][e]),
+                    "kf_valid": np.asarray(resume["ba_kf_valid"][e]),
+                    "kf_R": np.asarray(resume["ba_kf_R"][e]),
+                    "kf_t": np.asarray(resume["ba_kf_t"][e]),
+                }
+                for e in range(len(np.asarray(resume["ba_frame"])))
+            ]
+            ba_snapshots = prior_snaps + ba_snapshots
+            prior_events = [
+                {
+                    "frame_id": int(f),
+                    "initial_cost": float(c[0]),
+                    "final_cost": float(c[1]),
+                }
+                for f, c in zip(
+                    np.asarray(resume["ba_frame"]), np.asarray(resume["ba_costs"])
+                )
+            ]
+            ba_events = prior_events + ba_events
+
+        raw_poses = (
+            np.concatenate(poses_np) if poses_np else np.zeros((0, 4, 4), np.float32)
+        )
         # BA events fold into the full trajectory in event order so each
         # window's correction also reaches the frames chained after it.
+        all_poses = raw_poses
         for snap in ba_snapshots:
             all_poses = self._apply_ba_snapshot(snap, all_poses)
         pose_graph_applied = False
         if self.enable_pose_graph and loops and len(kf_fids) >= 2:
             all_poses = self._apply_pose_graph(all_poses, kf_fids, loops)
             pose_graph_applied = True
+        W = self.ba_window
+        snap_np = {
+            "kf_id": np.stack([np.asarray(s["kf_id"]) for s in ba_snapshots])
+            if ba_snapshots else np.zeros((0, W), np.int32),
+            "kf_valid": np.stack([np.asarray(s["kf_valid"]) for s in ba_snapshots])
+            if ba_snapshots else np.zeros((0, W), bool),
+            "kf_R": np.stack([np.asarray(s["kf_R"]) for s in ba_snapshots])
+            if ba_snapshots else np.zeros((0, W, 3, 3), np.float32),
+            "kf_t": np.stack([np.asarray(s["kf_t"]) for s in ba_snapshots])
+            if ba_snapshots else np.zeros((0, W, 3), np.float32),
+        }
+        stats_np = {
+            k: np.concatenate(v) if v else np.zeros((0,))
+            for k, v in stats.items()
+        }
+        checkpoint = {
+            "carry_state": state,
+            "world_map": world_map,
+            "assoc": assoc,
+            "db": db if db is not None else jnp.zeros(()),
+            "counters": np.asarray(
+                [frame_id, chunk_idx, kf_expected_since_ba], np.int64
+            ),
+            "raw_poses": raw_poses.astype(np.float32),
+            "stats_matches": np.asarray(stats_np["num_matches"], np.int32),
+            "stats_inliers": np.asarray(stats_np["num_inliers"], np.int32),
+            "stats_pose_ok": np.asarray(stats_np["pose_ok"], bool),
+            "kf_fids": np.asarray(kf_fids, np.int32),
+            "loops_frame": np.asarray(
+                [lp["frame_id"] for lp in loops], np.int32
+            ),
+            "loops_matched": np.asarray(
+                [lp["matched_keyframe_id"] for lp in loops], np.int32
+            ),
+            "loops_ninl": np.asarray(
+                [lp["num_inliers"] for lp in loops], np.int32
+            ),
+            "loops_T": np.stack(
+                [np.asarray(lp["relative_transform"], np.float32) for lp in loops]
+            )
+            if loops else np.zeros((0, 4, 4), np.float32),
+            "ba_frame": np.asarray(
+                [ev["frame_id"] for ev in ba_events], np.int32
+            ),
+            "ba_costs": np.asarray(
+                [[ev["initial_cost"], ev["final_cost"]] for ev in ba_events],
+                np.float32,
+            ).reshape(-1, 2),
+            "ba_kf_id": snap_np["kf_id"],
+            "ba_kf_valid": snap_np["kf_valid"],
+            "ba_kf_R": snap_np["kf_R"],
+            "ba_kf_t": snap_np["kf_t"],
+        }
         return {
             "poses": all_poses,
             "loops": loops,
             "ba_events": ba_events,
             "map": world_map,
             "pose_graph_applied": pose_graph_applied,
-            **{k: np.concatenate(v) if v else np.zeros((0,)) for k, v in stats.items()},
+            "checkpoint": checkpoint,
+            **stats_np,
         }
 
     def _apply_pose_graph(
