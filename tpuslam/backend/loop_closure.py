@@ -161,16 +161,17 @@ class LoopClosure:
             key = jax.random.PRNGKey(0)
         return self._detect(db, descriptors, xy, kp_valid, K, key)
 
-    def _detect_impl(self, db, descriptors, xy, kp_valid, K, key, bow_q=None):
-        cfg = self.config
-        mcfg = self.matcher_config
+    def _gates_impl(self, db, bow_q):
+        """BoW gates (reference loop_closure.cpp:111-147) — the sequential
+        part of detection: one matvec over the DB plus threshold logic.
 
-        if bow_q is None:
-            bow_q = self.vocabulary.transform(descriptors, kp_valid)  # (W,)
+        Returns ``(best_slot, cand_id, candidate_ok, max_score)``.
+        """
+        cfg = self.config
         scores = db.bow @ bow_q  # (C,) one matvec over the whole DB
 
-        # Gates (reference loop_closure.cpp:111-147): slot must be occupied
-        # and at least MinFramesDifference ids away from the last keyframe.
+        # Slot must be occupied and at least MinFramesDifference ids away
+        # from the last keyframe.
         occupied = db.ids >= 0
         far = jnp.abs(db.last_id - db.ids) >= cfg.min_frames_difference
         eligible = occupied & far
@@ -197,63 +198,96 @@ class LoopClosure:
             & (max_score >= cfg.relative_score_factor * second)
         )
         cand_id = jnp.where(candidate_ok, db.ids[best_slot], -1)
+        return best_slot, cand_id, candidate_ok, max_score
 
-        # Geometric verification (reference :153-236): re-match query
-        # descriptors against the candidate keyframe, then RANSAC DLT-PnP
-        # of the candidate's 3D map points against the query's 2D points.
-        # Wrapped in lax.cond so frames that fail the BoW gates (the vast
-        # majority) never pay for matching + PnP — essential now that
-        # detection runs inside the per-chunk scan (process_chunk).
+    def _verify_impl(
+        self, descriptors, xy, kp_valid, cand_desc, cand_xy, cand_kp_valid,
+        cand_mp, cand_mp_valid, candidate_ok, K, key,
+    ):
+        """Geometric verification (reference :153-236): re-match query
+        descriptors against the candidate keyframe, then RANSAC DLT-PnP of
+        the candidate's 3D map points against the query's 2D points.
+
+        Branch-free (``candidate_ok`` masks the candidate keypoints to
+        nothing instead of skipping): inside the per-chunk scan a
+        ``lax.cond`` here measured ~4 ms of overhead per *scan iteration*
+        on TPU even on the skip path — batching verification for all frames
+        of a chunk outside the scan (``_process_chunk_impl``) is both
+        cheaper and branchless.
+        """
+        cfg = self.config
+        mcfg = self.matcher_config
+        cand_kp_valid = cand_kp_valid & candidate_ok
+        match = match_descriptors(
+            descriptors,
+            cand_desc,
+            kp_valid,
+            cand_kp_valid,
+            xy,
+            cand_xy,
+            ratio_threshold=mcfg.ratio_test_threshold,
+            max_jump_radius=mcfg.max_jump_radius,
+            use_ratio_test=mcfg.use_ratio_test,
+            filter_matches=False,
+            use_spatial_penalty=True,
+        )
+        # Keep only matches whose candidate keypoint carries a 3D point.
+        # (Matching ran over the FULL candidate descriptor set so the
+        # ratio test is meaningful; restricting the candidate set first
+        # would let junk matches through — the reference matches the full
+        # set too, loop_closure.cpp:156-158.)
+        q = jnp.maximum(match.query_idx, 0)
+        t = jnp.maximum(match.train_idx, 0)
+        usable = match.valid & cand_mp_valid[t]
+        n_matches = jnp.sum(usable.astype(jnp.int32))
+        enough_matches = n_matches >= cfg.min_matches_for_pnp
+
+        pts2d = xy[q]  # query 2D (reference :172)
+        pts3d = cand_mp[t]  # candidate 3D (:173)
+
+        pnp = ransac_pnp(
+            pts3d,
+            pts2d,
+            usable & enough_matches,
+            K,
+            key,
+            # The reference's RansacMaxIterations (100) assumes sequential
+            # early-exit RANSAC; batched evaluation is one-shot, so use it
+            # as a floor and score at least 512 hypotheses (essentially
+            # free on the TPU — one extra batched solve).
+            num_hypotheses=max(cfg.ransac_max_iterations, 512),
+            sample_size=6,
+            reproj_threshold=cfg.ransac_reprojection_threshold,
+            min_inliers=cfg.min_inliers_for_pnp,
+        )
+        ok = candidate_ok & enough_matches & pnp.success
+        T = jnp.eye(4, dtype=jnp.float32)
+        T = T.at[:3, :3].set(pnp.R).at[:3, 3].set(pnp.t)
+        return ok, T, pnp.num_inliers
+
+    def _gather_candidate(self, db, best_slot):
+        """Point-in-time snapshot of the candidate keyframe's arrays."""
+        return (
+            db.descriptors[best_slot],
+            db.xy[best_slot],
+            db.kp_valid[best_slot],
+            db.map_points[best_slot],
+            db.mp_valid[best_slot],
+        )
+
+    def _detect_impl(self, db, descriptors, xy, kp_valid, K, key, bow_q=None):
+        if bow_q is None:
+            bow_q = self.vocabulary.transform(descriptors, kp_valid)  # (W,)
+        best_slot, cand_id, candidate_ok, max_score = self._gates_impl(db, bow_q)
+        cand = self._gather_candidate(db, best_slot)
+
+        # Single-frame API: frames that fail the BoW gates (the vast
+        # majority) skip matching + PnP entirely under lax.cond.  (The
+        # chunked path deliberately avoids this cond — see _verify_impl.)
         def verify(_):
-            cand_desc = db.descriptors[best_slot]
-            cand_xy = db.xy[best_slot]
-            cand_kp_valid = db.kp_valid[best_slot] & candidate_ok
-            match = match_descriptors(
-                descriptors,
-                cand_desc,
-                kp_valid,
-                cand_kp_valid,
-                xy,
-                cand_xy,
-                ratio_threshold=mcfg.ratio_test_threshold,
-                max_jump_radius=mcfg.max_jump_radius,
-                use_ratio_test=mcfg.use_ratio_test,
-                filter_matches=False,
-                use_spatial_penalty=True,
+            return self._verify_impl(
+                descriptors, xy, kp_valid, *cand, candidate_ok, K, key
             )
-            # Keep only matches whose candidate keypoint carries a 3D point.
-            # (Matching ran over the FULL candidate descriptor set so the
-            # ratio test is meaningful; restricting the candidate set first
-            # would let junk matches through — the reference matches the full
-            # set too, loop_closure.cpp:156-158.)
-            q = jnp.maximum(match.query_idx, 0)
-            t = jnp.maximum(match.train_idx, 0)
-            usable = match.valid & db.mp_valid[best_slot][t]
-            n_matches = jnp.sum(usable.astype(jnp.int32))
-            enough_matches = n_matches >= cfg.min_matches_for_pnp
-
-            pts2d = xy[q]  # query 2D (reference :172)
-            pts3d = db.map_points[best_slot][t]  # candidate 3D (:173)
-
-            pnp = ransac_pnp(
-                pts3d,
-                pts2d,
-                usable & enough_matches,
-                K,
-                key,
-                # The reference's RansacMaxIterations (100) assumes sequential
-                # early-exit RANSAC; batched evaluation is one-shot, so use it
-                # as a floor and score at least 512 hypotheses (essentially
-                # free on the TPU — one extra batched solve).
-                num_hypotheses=max(cfg.ransac_max_iterations, 512),
-                sample_size=6,
-                reproj_threshold=cfg.ransac_reprojection_threshold,
-                min_inliers=cfg.min_inliers_for_pnp,
-            )
-            ok = enough_matches & pnp.success
-            T = jnp.eye(4, dtype=jnp.float32)
-            T = T.at[:3, :3].set(pnp.R).at[:3, 3].set(pnp.t)
-            return ok, T, pnp.num_inliers
 
         def skip(_):
             return (
@@ -315,14 +349,18 @@ class LoopClosure:
         )
         bow_add = jax.vmap(self.vocabulary.transform)(descriptors, kp_valid)
 
+        # Sequential part: BoW gates + candidate snapshot + DB insert.  The
+        # expensive geometric verification is NOT in the scan — a lax.cond
+        # inside a scanned body measured ~4 ms/iteration of pure overhead on
+        # TPU (~60 ms/chunk, 17× the standalone cost of the same programs);
+        # instead the scan emits each frame's candidate arrays (point-in-time
+        # gather, so ring-buffer wraps within the chunk stay correct) and
+        # verification runs batched over the whole chunk afterwards.
+        # Verification never feeds back into the DB, so this is exact.
         def step(db, xs):
-            fid, en, d, x, kv, mp, mpv, key, bq, ba = xs
-            res = self._detect_impl(db, d, x, kv & en, K, key, bow_q=bq)
-            res = res._replace(
-                success=res.success & en,
-                matched_keyframe_id=jnp.where(en, res.matched_keyframe_id, -1),
-                candidate_id=jnp.where(en, res.candidate_id, -1),
-            )
+            fid, en, d, x, kv, mp, mpv, bq, ba = xs
+            best_slot, cand_id, cand_ok, max_score = self._gates_impl(db, bq)
+            cand = self._gather_candidate(db, best_slot)
             db2 = self._add_impl(db, fid, d, x, kv, mp, mpv, bow=ba)
             db = jax.tree.map(
                 lambda new, old: jnp.where(
@@ -331,11 +369,34 @@ class LoopClosure:
                 db2,
                 db,
             )
-            return db, res
+            gates = (
+                jnp.where(en, cand_id, -1),
+                cand_ok & en,
+                jnp.where(jnp.isfinite(max_score), max_score, 0.0),
+            )
+            return db, (gates, cand)
 
-        return jax.lax.scan(
+        db, ((cand_ids, cand_oks, bow_scores), cands) = jax.lax.scan(
             step,
             db,
             (frame_ids, enabled, descriptors, xy, kp_valid, map_points,
-             mp_valid, keys, bow_det, bow_add),
+             mp_valid, bow_det, bow_add),
         )
+
+        verified, T, num_inliers = jax.vmap(
+            self._verify_impl, in_axes=(0,) * 9 + (None, 0)
+        )(
+            descriptors, xy, kp_valid & enabled[:, None], *cands, cand_oks,
+            K, keys,
+        )
+        success = cand_oks & verified
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), T.shape)
+        results = LoopResult(
+            matched_keyframe_id=jnp.where(success, cand_ids, -1),
+            relative_transform=jnp.where(success[:, None, None], T, eye),
+            num_inliers=num_inliers,
+            candidate_id=cand_ids,
+            bow_score=bow_scores,
+            success=success,
+        )
+        return db, results

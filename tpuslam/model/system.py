@@ -116,8 +116,34 @@ class SlamSystem:
         )
 
     def _ba_cond(self, m, since_ba):
-        """BA under ``lax.cond`` when the keyframe counter reaches the
-        interval; returns (map, initial_cost, final_cost, ran)."""
+        """Windowed BA when the keyframe counter reaches the interval;
+        returns (map, initial_cost, final_cost, ran).
+
+        When the interval is ≤ the per-chunk keyframe count (statically
+        known), BA fires every chunk anyway — run it unconditionally and
+        select.  ``lax.cond`` inside the sequence ``scan`` measured a ~10×
+        pathology on TPU (the *taken* branch at 0 LM iterations cost
+        ~157 ms/chunk vs ~5 ms for the identical standalone program);
+        branchless select sidesteps it entirely.  The cond path remains for
+        genuinely sparse BA schedules, where skipped chunks must not pay.
+        """
+        due = since_ba >= self.ba_interval
+        kf_per_chunk = max(
+            self.config.batch_size // max(self.keyframe_interval, 1), 1
+        )
+        if self.tracking == "pnp":
+            kf_per_chunk = self.config.batch_size
+        if self.ba_interval <= kf_per_chunk:
+            ba = bundle_adjust(m, self._K, iterations=self.ba_iterations)
+            m2 = jax.tree.map(
+                lambda new, old: jnp.where(due, new, old), ba.map, m
+            )
+            return (
+                m2,
+                jnp.where(due, ba.initial_cost, 0.0),
+                jnp.where(due, ba.final_cost, 0.0),
+                due,
+            )
 
         def do_ba(m_in):
             ba = bundle_adjust(m_in, self._K, iterations=self.ba_iterations)
