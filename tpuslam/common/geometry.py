@@ -153,6 +153,50 @@ def nullvec_minimal(A: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
 
+def nullspace_basis(A: jax.Array) -> jax.Array:
+    """Orthonormal basis of the nullspace of a wide matrix, batched.
+
+    ``A``: (..., m, n) with m < n and (generically) full row rank; returns
+    (..., n, n-m) whose columns span null(A) exactly.  Householder QR of Aᵀ
+    (m reflections, each a batched rank-1 update — no LAPACK, no iteration):
+    Aᵀ = QR with Q (n, n); the last n-m columns of Q are the nullspace.
+    Used by the 5-point minimal solver, which needs the full 4-dimensional
+    nullspace of its 5×9 epipolar system, not just one nullvector.
+
+    Rank-deficient inputs (coincident sample points) produce a subspace that
+    is orthogonal but not exactly null — such degenerate RANSAC samples
+    yield garbage hypotheses under any solver and are ranked out by MSAC.
+    """
+    m, n = A.shape[-2:]
+    assert m < n, "nullspace_basis needs an underdetermined system"
+    dtype = A.dtype
+    B = jnp.swapaxes(A, -1, -2)  # (..., n, m)
+    rows = jnp.arange(n)
+    vs = []
+    for k in range(m):
+        x = jnp.where(rows >= k, B[..., :, k], 0.0)  # column k below diag
+        xnorm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x0 = x[..., k][..., None]
+        # alpha = -sign(x0) * ||x|| avoids cancellation in v = x - alpha e_k
+        alpha = -jnp.where(x0 >= 0, 1.0, -1.0) * xnorm
+        v = x - alpha * (rows == k).astype(dtype)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+        B = B - 2.0 * v[..., :, None] * jnp.einsum(
+            "...n,...nm->...m", v, B, precision="highest"
+        )[..., None, :]
+        vs.append(v)
+    # Q's trailing columns: q_j = H_0 ··· H_{m-1} e_j for j = m..n-1.
+    Ecols = jnp.broadcast_to(
+        jnp.eye(n, dtype=dtype)[:, m:], (*A.shape[:-2], n, n - m)
+    )
+    Q = Ecols
+    for v in reversed(vs):
+        Q = Q - 2.0 * v[..., :, None] * jnp.einsum(
+            "...n,...nk->...k", v, Q, precision="highest"
+        )[..., None, :]
+    return Q
+
+
 def smallest_eigvec(ata: jax.Array) -> jax.Array:
     """Eigenvector for the smallest eigenvalue of a batched symmetric matrix.
 

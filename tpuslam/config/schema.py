@@ -218,8 +218,12 @@ class PoseConfig:
     def __post_init__(self) -> None:
         if self.num_hypotheses <= 0:
             raise ValueError("'NumHypotheses' must be a positive integer.")
-        if self.sample_size < 8:
-            raise ValueError("'SampleSize' must be at least 8 for the 8-point algorithm.")
+        if self.sample_size != 5 and self.sample_size < 8:
+            raise ValueError(
+                "'SampleSize' must be 5 (Nistér minimal solver, the "
+                "reference's cv::findEssentialMat algorithm) or >= 8 "
+                "(8-point least-squares samples)."
+            )
         if self.inlier_threshold_px <= 0.0:
             raise ValueError("'InlierThresholdPx' must be positive.")
 

@@ -223,14 +223,33 @@ def estimate_relative_pose(
     sample_idx = rank_to_idx[r]  # (H, S)
 
     rows_all = _eight_point_rows(x1, x2)  # (M, 9)
-    rows = rows_all[sample_idx]  # (H, S, 9)
-    # Minimal-sample hypotheses only need to *rank* well — the top-L models
-    # are re-solved over all inliers by the LO rounds below at full sweep
-    # count — so 3 Jacobi sweeps suffice here (measured: identical winners
-    # and rotation errors).  An exact MGS minimal solver (nullvec_minimal)
-    # measures 25% faster standalone but 1.8× SLOWER fused into this
-    # program (XLA fusion interaction) — keep Jacobi here.
-    E_hyp = _solve_e_from_rows(rows, project=False, sweeps=3)  # (H, 3, 3)
+    if sample_size == 5:
+        # Nistér 5-point minimal solver (the reference's actual estimator —
+        # cv::findEssentialMat is 5-point RANSAC, pose_estimator.cpp:42).
+        # Each sample yields up to 10 essential-matrix candidates; invalid
+        # ones (complex roots, degenerate samples) are masked out of the
+        # MSAC ranking.  5-point samples need 3 fewer inliers than 8-point,
+        # so the all-inlier hit rate at equal hypothesis count is far
+        # higher on contaminated data.
+        from tpuslam.frontend.fivepoint import fivepoint_essential
+
+        E_cand, cand_ok = fivepoint_essential(
+            x1[sample_idx], x2[sample_idx]
+        )  # (H, 10, 3, 3), (H, 10)
+        E_hyp = E_cand.reshape(num_hypotheses * 10, 3, 3)
+        hyp_ok = cand_ok.reshape(num_hypotheses * 10)
+    else:
+        rows = rows_all[sample_idx]  # (H, S, 9)
+        # Minimal-sample hypotheses only need to *rank* well — the top-L
+        # models are re-solved over all inliers by the LO rounds below at
+        # full sweep count — so 3 Jacobi sweeps suffice here (measured:
+        # identical winners and rotation errors).  An exact MGS minimal
+        # solver (nullvec_minimal) measures 25% faster standalone but 1.8×
+        # SLOWER fused into this program (XLA fusion interaction) — keep
+        # Jacobi here.
+        E_hyp = _solve_e_from_rows(rows, project=False, sweeps=3)  # (H, 3, 3)
+        hyp_ok = None
+    n_models = E_hyp.shape[0]
 
     # --- score all hypotheses (MSAC: truncated-loss sum) ----------------------
     # MSAC discriminates models far better than raw inlier counting when
@@ -239,14 +258,14 @@ def estimate_relative_pose(
     thr = (inlier_threshold_px / focal) ** 2
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and num_hypotheses % 256 == 0 and M % 128 == 0:
+    if use_pallas and n_models % 256 == 0 and M % 128 == 0:
         # Fused VMEM scoring: never materialises the (H, M) error tensor
         # (kernels/pose_pallas.py; ~670 MB/chunk of HBM traffic saved).
         from tpuslam.kernels.pose_pallas import build_msac_operand, msac_scores_pallas
 
         P_op = build_msac_operand(x1, x2, valid, thr)
         msac = msac_scores_pallas(
-            E_hyp.reshape(num_hypotheses, 9), P_op
+            E_hyp.reshape(n_models, 9), P_op
         ) + jnp.sum(~valid)
     else:
         err = sampson_error_sq(E_hyp, x1, x2)  # (H, M)
@@ -254,6 +273,9 @@ def estimate_relative_pose(
         # Invalid matches contribute the truncation cap so degenerate inputs
         # don't look artificially good.
         msac = jnp.sum(trunc, axis=-1) + jnp.sum(~valid)
+    if hyp_ok is not None:
+        # Masked 5-point candidates rank last (worst possible score is M).
+        msac = jnp.where(hyp_ok, msac, jnp.float32(M + 1))
 
     # --- multi-start annealed local optimisation (LO-RANSAC) ------------------
     # Take the top-L hypotheses and run Sampson-weighted least-squares refits
@@ -262,7 +284,7 @@ def estimate_relative_pose(
     # model across all starts and rounds wins.  All L starts refit in one
     # batched solve — this is the TPU replacement for OpenCV's sequential
     # hypothesize-and-verify with local optimisation.
-    L = min(4, num_hypotheses)
+    L = min(4, n_models)
     _, top_h = jax.lax.top_k(-msac, L)
     E_cur = E_hyp[top_h]  # (L, 3, 3)
     E_best_l = E_cur
