@@ -1,0 +1,227 @@
+"""Time-sharded long-sequence mode: one video split across the device mesh.
+
+SURVEY §5 ("long-context analog"): the reference streams frames strictly
+sequentially with O(1) state (``preprocessor.cpp:95-141``); its only growth
+axis is video length.  The TPU-native scaling answer is *context
+parallelism over time*: cut one long sequence into D contiguous segments,
+track every segment independently on its own device (no collectives on the
+hot path — monocular VO is embarrassingly parallel once cut), and stitch
+the per-segment trajectories back into one by aligning each segment's
+lead-in frames against the previous segment's already-stitched tail with a
+Sim(3) transform (monocular scale is free per segment, so the alignment
+must solve for scale too).
+
+Layout (segment length S, overlap V, both multiples of the chunk batch):
+
+    shard 0:  frames [0,            S + V)    core = local [0, S)
+    shard d:  frames [d·S − V, (d+1)·S)       core = local [V, V + S)
+
+Shard d's first V frames re-track the last V core frames of shard d−1, so
+after both run, the duplicated stretch yields pose pairs from which the
+inter-segment Sim(3) is estimated.  Rotation comes from the paired pose
+orientations (a polar mean), NOT from Umeyama on camera centers — forward
+motion makes centers collinear and the center-cloud rotation degenerate
+about the motion axis.  Scale and translation then follow in closed form.
+
+Wall-clock for an N-frame video drops from O(N) to O(N/D + V); the cost is
+V extra tracked frames per shard and the (second-order) stitching error at
+segment boundaries, measured by ``tests/test_timeshard.py`` against the
+single-device trajectory.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.dist.mesh import make_device_mesh, sequence_sharding
+
+
+# --------------------------------------------------------------------------
+# Host-side slicing
+# --------------------------------------------------------------------------
+def plan_time_shards(
+    n_frames: int, n_shards: int, batch: int, overlap: int | None = None
+) -> tuple[int, int]:
+    """Choose (core segment length S, overlap V), both multiples of ``batch``.
+
+    S covers the padded sequence: ``n_shards * S >= n_frames``.  The overlap
+    defaults to one chunk — enough frames for a stable Sim(3) while keeping
+    the redundant-tracking tax at V/S.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    V = batch if overlap is None else overlap
+    if V < 2 or V % batch:
+        raise ValueError("overlap must be a positive multiple of the batch size")
+    S = -(-n_frames // n_shards)  # ceil
+    S = -(-S // batch) * batch  # round up to a chunk multiple
+    if n_shards > 1 and V > S:
+        raise ValueError(f"overlap {V} exceeds segment length {S}")
+    return S, V
+
+
+def shard_frames_in_time(
+    frames: np.ndarray, n_shards: int, batch: int, overlap: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Cut one (N, H, W) sequence into overlapping per-shard windows.
+
+    Returns ``(shards (D, S+V, H, W), valid (D, S+V), S, V)``.  Frames past
+    the end of the video pad the last shard and are marked invalid (the
+    pipeline's masked no-op gates skip them; SURVEY §5 failure-detection
+    row).
+    """
+    n = frames.shape[0]
+    S, V = plan_time_shards(n, n_shards, batch, overlap)
+    L = S + V
+    pad_to = (n_shards - 1) * S + L if n_shards > 1 else L
+    padded = np.concatenate(
+        [frames, np.repeat(frames[-1:], max(pad_to - n, 0), axis=0)], axis=0
+    )
+    starts = [0] + [d * S - V for d in range(1, n_shards)]
+    shards = np.stack([padded[s : s + L] for s in starts])
+    valid = np.stack(
+        [(np.arange(s, s + L) < n) for s in starts]
+    )
+    return shards, valid, S, V
+
+
+# --------------------------------------------------------------------------
+# Device-side sharded tracking
+# --------------------------------------------------------------------------
+def run_timesharded(
+    pipeline,
+    frames: np.ndarray,
+    n_shards: int | None = None,
+    overlap: int | None = None,
+    seed: int = 0,
+    mesh=None,
+) -> dict:
+    """Track one long sequence with its time axis sharded over the mesh.
+
+    ``pipeline``: a ``SlamPipeline``; each shard runs its full one-dispatch
+    sequence program (``process_sequence``) on its own device via ``vmap``
+    over the shard axis + a ``NamedSharding`` on the mesh's sequence axis —
+    per-shard VO state stays device-local, XLA inserts no collectives.
+
+    Returns ``{"poses" (N, 4, 4), "pose_ok" (N,), "segments", "S", "V"}``
+    with the stitched single trajectory in shard 0's frame.
+    """
+    if mesh is None:
+        mesh = make_device_mesh(n_shards)
+    if n_shards is None:
+        n_shards = mesh.devices.size
+    B = pipeline.config.batch_size
+    n = frames.shape[0]
+    shards, valid, S, V = shard_frames_in_time(frames, n_shards, B, overlap)
+    D, L = shards.shape[:2]
+    C = L // B
+    chunks = shards.reshape(D, C, B, *shards.shape[2:])
+    chunk_valid = valid.reshape(D, C, B)
+
+    sh = sequence_sharding(mesh)
+    init = pipeline.initial_state()
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (D, *x.shape)), init)
+    keys = jax.vmap(lambda s: jax.random.split(jax.random.PRNGKey(s), C))(
+        seed + jnp.arange(D, dtype=jnp.uint32)
+    )
+
+    run = jax.jit(
+        jax.vmap(pipeline.process_sequence),
+        in_shardings=(sh, sh, jax.tree.map(lambda _: sh, init), sh),
+    )
+    results, _ = run(
+        jax.device_put(chunks, sh),
+        jax.device_put(chunk_valid, sh),
+        states,
+        keys,
+    )
+    poses = np.asarray(results.poses).reshape(D, L, 4, 4)
+    pose_ok = np.asarray(results.pose_ok).reshape(D, L)
+
+    stitched = stitch_segments(poses, S, V, n)
+    core_ok = np.concatenate(
+        [pose_ok[0, :S]] + [pose_ok[d, V : V + S] for d in range(1, D)]
+    )[:n]
+    return {
+        "poses": stitched,
+        "pose_ok": core_ok,
+        "segments": poses,
+        "S": S,
+        "V": V,
+    }
+
+
+# --------------------------------------------------------------------------
+# Host-side Sim(3) stitching
+# --------------------------------------------------------------------------
+def _centers(T: np.ndarray) -> np.ndarray:
+    return np.asarray(T, np.float64)[:, :3, 3]
+
+
+def sim3_from_pose_pairs(
+    T_src: np.ndarray, T_dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Sim(3) (R, t, s) with ``T_dst ≈ [s·R|t] ∘ T_src`` from paired poses.
+
+    Rotation is the polar mean of the paired orientations
+    (argmin_R Σ‖R·R_srcᵢ − R_dstᵢ‖²  =  polar(Σ R_dstᵢ R_srcᵢᵀ)) — robust
+    where center-cloud Umeyama degenerates (collinear forward motion leaves
+    the rotation about the motion axis unconstrained).  Scale/translation
+    are then the closed-form least squares on the camera centers.
+    """
+    T_src = np.asarray(T_src, np.float64)
+    T_dst = np.asarray(T_dst, np.float64)
+    M = np.einsum("nij,nkj->ik", T_dst[:, :3, :3], T_src[:, :3, :3])
+    U, _, Vt = np.linalg.svd(M)
+    Sg = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        Sg[2, 2] = -1
+    R = U @ Sg @ Vt
+    cs, cd = _centers(T_src), _centers(T_dst)
+    mu_s, mu_d = cs.mean(axis=0), cd.mean(axis=0)
+    xs = (cs - mu_s) @ R.T
+    xd = cd - mu_d
+    denom = float((xs**2).sum())
+    s = float((xs * xd).sum() / denom) if denom > 1e-18 else 1.0
+    if s <= 1e-12:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return R, t, s
+
+
+def apply_sim3(R: np.ndarray, t: np.ndarray, s: float, T: np.ndarray) -> np.ndarray:
+    """Apply a Sim(3) to (N, 4, 4) world-from-camera poses.
+
+    Camera centers map by C ← s·R·C + t; orientations by R_wc ← R·R_wc
+    (scale acts on the translation part only — the camera frame itself is
+    rigid).
+    """
+    T = np.asarray(T, np.float64)
+    out = np.tile(np.eye(4), (T.shape[0], 1, 1))
+    out[:, :3, :3] = R @ T[:, :3, :3]
+    out[:, :3, 3] = (s * (T[:, :3, 3] @ R.T)) + t
+    return out
+
+
+def stitch_segments(poses: np.ndarray, S: int, V: int, n_frames: int) -> np.ndarray:
+    """Fold per-shard trajectories (D, S+V, 4, 4) into one (n_frames, 4, 4).
+
+    Each shard's V lead-in poses re-track the previous shard's last V core
+    frames; the Sim(3) aligning those pairs maps the shard's local frame
+    into the (already stitched) global frame, cumulatively.
+    """
+    D = poses.shape[0]
+    out = np.asarray(poses[0], np.float64).copy()  # covers [0, S+V)
+    out = out[:S] if D > 1 else out
+    stitched = [out]
+    total = S
+    for d in range(1, D):
+        ref = np.concatenate(stitched)[total - V : total]
+        R, t, s = sim3_from_pose_pairs(poses[d, :V], ref)
+        core = apply_sim3(R, t, s, poses[d, V : V + S])
+        stitched.append(core)
+        total += S
+    full = np.concatenate(stitched)
+    return np.asarray(full[:n_frames], np.float32)
