@@ -266,3 +266,72 @@ def test_self_similarity_highest(vocabulary, loop_features):
     assert np.allclose(np.diag(S), 1.0, atol=1e-5)
     # frame 9 revisits frame 0: their score must be 9's best among 0..8
     assert S[9, :9].argmax() == 0
+
+
+# --- second-best gate: grouped (ours) vs literal (reference) -------------------
+
+
+def _gate_db(lc, scores_by_id, last_id):
+    """A DB whose BoW rows produce the given query scores by construction."""
+    db = lc.new_db(max_keypoints=8)
+    bow = np.zeros((db.capacity, lc.vocabulary.num_words), np.float32)
+    ids = np.full(db.capacity, -1, np.int32)
+    for slot, (kid, score) in enumerate(scores_by_id.items()):
+        bow[slot, 0] = score  # query = e0, so score = dot product
+        ids[slot] = kid
+    return db._replace(
+        bow=jnp.asarray(bow),
+        ids=jnp.asarray(ids),
+        count=jnp.asarray(len(scores_by_id), jnp.int32),
+        last_id=jnp.asarray(last_id, jnp.int32),
+    )
+
+
+def _gate_outcome(lc, scores_by_id, last_id=8):
+    q = jnp.zeros(lc.vocabulary.num_words, jnp.float32).at[0].set(1.0)
+    db = _gate_db(lc, scores_by_id, last_id)
+    _, cand_id, candidate_ok, _ = lc._gates_impl(db, q)
+    return bool(candidate_ok), int(cand_id)
+
+
+def test_second_best_gate_grouped_vs_literal(vocabulary):
+    """The reference's literal runner-up gate (loop_closure.cpp:137-141)
+    rejects a true loop whose *temporal neighbour* also scores high — the
+    normal situation on any self-similar revisit; the grouped gate (our
+    documented deviation, SecondBestGrouped: 1) accepts it.  Both gates
+    must still reject a match that is ambiguous across distinct places."""
+    mcfg = MatcherConfig(ratio_test_threshold=0.8)
+
+    def make(grouped):
+        return LoopClosure(
+            vocabulary,
+            LoopClosureConfig(
+                min_db_size=2,
+                min_frames_difference=2,
+                min_absolute_score=0.005,
+                relative_score_factor=1.1,
+                second_best_grouped=grouped,
+            ),
+            mcfg,
+        )
+
+    lc_grouped, lc_literal = make(True), make(False)
+
+    # True loop at id 0 (0.9); its temporal neighbour id 1 scores 0.85;
+    # distinct places (ids 4..6) score low.
+    revisit = {0: 0.9, 1: 0.85, 4: 0.1, 5: 0.1, 6: 0.1}
+    ok_g, cand_g = _gate_outcome(lc_grouped, revisit)
+    ok_l, _ = _gate_outcome(lc_literal, revisit)
+    assert ok_g and cand_g == 0  # grouped: neighbour doesn't veto the loop
+    assert not ok_l  # literal: 0.9 < 1.1 * 0.85 → rejected
+
+    # Ambiguity across DISTINCT places (id 5 is far from id 0): both gates
+    # must reject — this is the scenario the gate exists for.
+    ambiguous = {0: 0.9, 4: 0.1, 5: 0.85, 6: 0.1}
+    assert not _gate_outcome(lc_grouped, ambiguous)[0]
+    assert not _gate_outcome(lc_literal, ambiguous)[0]
+
+    # Unambiguous match: both gates accept.
+    clean = {0: 0.9, 4: 0.1, 5: 0.1, 6: 0.1}
+    assert _gate_outcome(lc_grouped, clean)[0]
+    assert _gate_outcome(lc_literal, clean)[0]

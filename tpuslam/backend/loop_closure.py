@@ -183,8 +183,15 @@ class LoopClosure:
         # 137-141), which on self-similar sequences is the true loop's own
         # neighbour — rejecting every correct loop.  Grouping by id distance
         # keeps the gate's intent (reject matches ambiguous across distinct
-        # places) without punishing neighbours of the true match.
-        near_best = jnp.abs(db.ids - db.ids[best_slot]) < cfg.min_frames_difference
+        # places) without punishing neighbours of the true match.  The
+        # literal reference gate is available via SecondBestGrouped: 0
+        # (validated against the grouped one in test_loop_closure.py).
+        if cfg.second_best_grouped:
+            near_best = (
+                jnp.abs(db.ids - db.ids[best_slot]) < cfg.min_frames_difference
+            )
+        else:
+            near_best = jnp.arange(db.capacity) == best_slot
         second = jnp.where(eligible & ~near_best, scores, -jnp.inf).max()
         second = jnp.maximum(second, 0.0)  # reference seeds secondMax at 0.0
 

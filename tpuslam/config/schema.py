@@ -158,6 +158,15 @@ class LoopClosureConfig:
     min_inliers_for_pnp: int = 5
     ransac_max_iterations: int = 100
     ransac_reprojection_threshold: float = 2.0
+    # Second-best gate: the reference compares the best BoW score against
+    # the raw runner-up (loop_closure.cpp:137-141); on self-similar
+    # sequences the runner-up is the true loop's own temporal neighbour,
+    # which rejects every correct loop.  True (default) groups keyframes
+    # within MinFramesDifference of the best candidate out of the
+    # runner-up pool — the gate's intent (reject matches ambiguous across
+    # *distinct* places) without punishing neighbours of the true match.
+    # False reproduces the reference's literal gate.
+    second_best_grouped: bool = True
     # TPU capacity fields.
     max_keyframes: int = 512
 
@@ -195,6 +204,7 @@ class LoopClosureConfig:
             ransac_reprojection_threshold=float(
                 _get(doc, "RansacReprojectionThreshold", 2.0)
             ),
+            second_best_grouped=bool(int(_get(doc, "SecondBestGrouped", 1))),
             max_keyframes=int(_get(doc, "MaxKeyframes", 512)),
         )
 
