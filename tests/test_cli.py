@@ -42,3 +42,32 @@ def test_cli_missing_args():
 def test_cli_bad_stream():
     r = run_cli(["-c", "configs", "-v", "/nonexistent/dir", "-o", "/tmp/x.txt"])
     assert r.returncode != 0
+
+
+def test_cli_timeshard_mode(tmp_path):
+    """--timeshard N: the video's time axis split across the (virtual) mesh,
+    stitched back into one trajectory (tpuslam/dist/timeshard.py)."""
+    out = tmp_path / "traj_ts.txt"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "cli.py"),
+         "-c", "configs", "-v", "tests/data/images", "-o", str(out),
+         "--batch-size", "5", "--timeshard", "2", "--stats"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["frames"] == 10 and stats["segments"] == 2
+    traj = np.loadtxt(out)
+    assert traj.shape == (10, 12)
+
+
+def test_cli_timeshard_rejects_slam():
+    r = run_cli(["-c", "configs", "-v", "tests/data/images",
+                 "--timeshard", "2", "--slam"])
+    assert r.returncode != 0
+    assert "timeshard" in (r.stderr + r.stdout).lower()

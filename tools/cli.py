@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
                              "stream at the saved frame index; the result is "
                              "identical to an uninterrupted run at the same "
                              "batch size")
+    parser.add_argument("--timeshard", type=int, default=0, metavar="N",
+                        help="cut the video's time axis into N overlapping "
+                             "segments tracked in parallel across the device "
+                             "mesh, stitched by Sim(3) over the overlaps "
+                             "(VO tracking only; N must not exceed the "
+                             "device count)")
     parser.add_argument("--plot", default=None,
                         help="write a top-down trajectory plot PNG")
     parser.add_argument("--debug", action="store_true")
@@ -98,6 +104,43 @@ def main(argv: list[str] | None = None) -> int:
         pipeline = SlamPipeline(camera, config, tracking=args.tracking)
     stream = FrameStream(args.stream, frame_skip=args.frame_skip)
     log.info("Stream %s: %d frames", args.stream, stream.total_frames)
+
+    if args.timeshard:
+        if args.slam or args.tracking != "vo" or args.resume:
+            parser.error("--timeshard supports plain VO tracking only "
+                         "(no --slam/--tracking pnp/--resume)")
+        import numpy as np
+
+        from tpuslam.dist.timeshard import run_timesharded
+
+        n_total = stream.total_frames
+        if args.max_frames:
+            n_total = min(n_total, args.max_frames)
+        frames = np.stack(
+            [stream.read_frame(i)[0] for i in range(n_total)]
+        )
+        t0 = time.time()
+        result = run_timesharded(pipeline, frames, n_shards=args.timeshard)
+        dt = time.time() - t0
+        log.info(
+            "Time-sharded %d frames over %d segments (S=%d, V=%d) in %.2fs",
+            n_total, args.timeshard, result["S"], result["V"], dt,
+        )
+        save_kitti_trajectory(result["poses"], args.output)
+        log.info("Trajectory written to %s", args.output)
+        if args.plot:
+            from tpuslam.post.visualizer import plot_trajectory
+
+            plot_trajectory(result["poses"], args.plot)
+        if args.stats:
+            print(json.dumps({
+                "frames": int(n_total),
+                "seconds": dt,
+                "fps": n_total / dt,
+                "pose_ok": int(result["pose_ok"].sum()),
+                "segments": int(args.timeshard),
+            }))
+        return 0
 
     resume_state = None
     resume_poses = None
