@@ -163,6 +163,69 @@ def measure_slam(frames_d) -> float:
     return N_FRAMES / (time.perf_counter() - t0)
 
 
+def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
+    """Batched multi-sequence SLAM throughput (BASELINE config 5).
+
+    One full PnP-SLAM sequence program per device, the sequence axis
+    sharded over a mesh of every available chip (``dist/mesh.py``); on a
+    v5e-8 this is 8 KITTI sequences, on a single chip it degenerates to
+    S=1 (the mode exists so the config-5 number is capturable the moment
+    a multi-chip host is attached).  Aggregate frames/sec across all
+    sequences, staged + fresh-keys protocol as everywhere else.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.dist.mesh import make_device_mesh, sequence_sharding
+    from tpuslam.model.system import SlamSystem
+
+    S = len(jax.devices())
+    mesh = make_device_mesh(S)
+    sh = sequence_sharding(mesh)
+
+    camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
+    system = SlamSystem(
+        camera,
+        config,
+        vocabulary=REPO_ROOT / "configs" / "vocabulary.npz",
+        tracking="pnp",
+    )
+    n_chunks = N_FRAMES // BATCH
+    chunks = frames.reshape(1, n_chunks, BATCH, *frames.shape[1:])
+    chunks_d = jax.device_put(
+        jnp.broadcast_to(jnp.asarray(chunks), (S, *chunks.shape[1:])), sh
+    )
+    chunk_valid = jnp.ones((S, n_chunks, BATCH), bool)
+    db = system.loop_closure.new_db(
+        config.detector.max_keypoints, config.detector.descriptor_bytes
+    )
+    carry0 = (
+        system.pipeline.initial_pnp_state(),
+        db,
+        jnp.asarray(0, jnp.int32),
+    )
+    carry_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (S, *a.shape)), carry0)
+
+    def keys_for(seed):
+        base = jax.random.split(jax.random.PRNGKey(seed), S)
+        return jax.vmap(lambda k: jax.random.split(k, n_chunks))(base)
+
+    step = jax.jit(
+        jax.vmap(system._sequence_impl),
+        in_shardings=(sh, sh, jax.tree.map(lambda _: sh, carry0), sh),
+    )
+    _, outs = step(chunks_d, chunk_valid, carry_s, keys_for(0))
+    jax.block_until_ready(outs["poses"])  # compile + warm
+
+    t0 = time.perf_counter()
+    _, outs = step(chunks_d, chunk_valid, carry_s, keys_for(1))
+    jax.block_until_ready(outs["poses"])
+    return S * N_FRAMES / (time.perf_counter() - t0), S
+
+
 def main() -> None:
     frames_d = _staged(_load_frames(N_FRAMES))
     if "--slam" in sys.argv:
@@ -184,6 +247,16 @@ def main() -> None:
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 500.0, 4),
+        }))
+        return
+    if "--multiseq" in sys.argv:
+        fps, n_seq = measure_multiseq(_load_frames(N_FRAMES))
+        print(json.dumps({
+            "metric": "multiseq_slam_throughput_kitti",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 500.0, 4),
+            "sequences": n_seq,
         }))
         return
     if "--pnp" in sys.argv:
