@@ -335,3 +335,122 @@ def test_second_best_gate_grouped_vs_literal(vocabulary):
     clean = {0: 0.9, 4: 0.1, 5: 0.1, 6: 0.1}
     assert _gate_outcome(lc_grouped, clean)[0]
     assert _gate_outcome(lc_literal, clean)[0]
+
+
+# --- chunked path == sequential path -------------------------------------------
+
+
+@pytest.mark.parametrize("disable", [(), (3, 7)])
+def test_process_chunk_matches_sequential(loop_closure, loop_features, disable):
+    """The batched whole-chunk path (batched gates + one ring-window blit
+    insert) must reproduce the sequential detect→add semantics frame by
+    frame — including *intra-chunk* candidates: in the 10-frame revisit
+    fixture processed as ONE chunk, frame 9's true match (frame 0) is a
+    keyframe inserted earlier in the same chunk, and disabled frames must
+    be invisible to detection and leave the database untouched."""
+    lc = loop_closure
+    Kj = jnp.asarray(LOOP_K, jnp.float32)
+    B = len(loop_features)
+    enabled = np.array([i not in disable for i in range(B)])
+    mps = [backprojected_points(f[0], LOOP_K, seed=i)
+           for i, f in enumerate(loop_features)]
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    # Sequential oracle: single-frame detect-then-add over enabled frames.
+    db_seq = lc.new_db(loop_features[0][0].xy.shape[0])
+    seq = []
+    for i, (kps, desc) in enumerate(loop_features):
+        if enabled[i]:
+            res = lc.detect(db_seq, desc, kps.xy, kps.valid, Kj, key=keys[i])
+            db_seq = lc.add_keyframe(
+                db_seq, i, desc, kps.xy, kps.valid, mps[i], kps.valid
+            )
+        else:
+            res = None
+        seq.append(res)
+
+    # Chunked path: the whole sequence as one batch.
+    db_chunk = lc.new_db(loop_features[0][0].xy.shape[0])
+    desc_b = jnp.stack([d for _, d in loop_features])
+    xy_b = jnp.stack([k.xy for k, _ in loop_features])
+    kv_b = jnp.stack([k.valid for k, _ in loop_features])
+    mp_b = jnp.stack(mps)
+    db_chunk, results = lc.process_chunk(
+        db_chunk,
+        jnp.arange(B, dtype=jnp.int32),
+        jnp.asarray(enabled),
+        desc_b, xy_b, kv_b, mp_b, kv_b, Kj, keys,
+    )
+
+    for i, res in enumerate(seq):
+        if res is None:
+            assert not bool(results.success[i])
+            assert int(results.candidate_id[i]) == -1
+            continue
+        assert int(results.candidate_id[i]) == int(res.candidate_id), i
+        assert bool(results.success[i]) == bool(res.success), i
+        assert int(results.matched_keyframe_id[i]) == int(
+            res.matched_keyframe_id
+        ), i
+        np.testing.assert_allclose(
+            float(results.bow_score[i]), float(res.bow_score), atol=1e-6
+        )
+        if bool(res.success):
+            assert int(results.num_inliers[i]) == int(res.num_inliers), i
+            np.testing.assert_allclose(
+                np.asarray(results.relative_transform[i]),
+                np.asarray(res.relative_transform),
+                atol=1e-5,
+            )
+
+    # The databases must be identical.
+    assert int(db_chunk.count) == int(db_seq.count)
+    assert int(db_chunk.last_id) == int(db_seq.last_id)
+    np.testing.assert_array_equal(np.asarray(db_chunk.ids), np.asarray(db_seq.ids))
+    np.testing.assert_allclose(
+        np.asarray(db_chunk.bow), np.asarray(db_seq.bow), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db_chunk.descriptors), np.asarray(db_seq.descriptors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db_chunk.kp_valid), np.asarray(db_seq.kp_valid)
+    )
+
+
+def test_process_chunk_ring_wrap(loop_closure, loop_features):
+    """A chunk that wraps the ring buffer must land rows at the right
+    slots (count % capacity onward) and keep ids/count consistent."""
+    lc = loop_closure
+    Kj = jnp.asarray(LOOP_K, jnp.float32)
+    B = len(loop_features)
+    kp_cap = loop_features[0][0].xy.shape[0]
+    from tpuslam.backend.loop_closure import empty_db
+
+    cap = 16
+    db = empty_db(cap, lc.vocabulary.num_words, kp_cap, 32)
+    # Pretend 12 keyframes came before: the 10-frame chunk wraps the ring.
+    db = db._replace(
+        count=jnp.asarray(12, jnp.int32),
+        last_id=jnp.asarray(11, jnp.int32),
+        ids=db.ids.at[:12].set(jnp.arange(12, dtype=jnp.int32)),
+    )
+    desc_b = jnp.stack([d for _, d in loop_features])
+    xy_b = jnp.stack([k.xy for k, _ in loop_features])
+    kv_b = jnp.stack([k.valid for k, _ in loop_features])
+    mp_b = jnp.stack(
+        [backprojected_points(f[0], LOOP_K, seed=i)
+         for i, f in enumerate(loop_features)]
+    )
+    fids = jnp.arange(100, 100 + B, dtype=jnp.int32)
+    db2, _ = lc.process_chunk(
+        db, fids, jnp.ones(B, bool), desc_b, xy_b, kv_b, mp_b, kv_b, Kj,
+        jax.random.split(jax.random.PRNGKey(0), B),
+    )
+    assert int(db2.count) == 22
+    assert int(db2.last_id) == 100 + B - 1
+    ids = np.asarray(db2.ids)
+    # slots 12..15 take frames 100..103, wrap: slots 0..5 take 104..109
+    np.testing.assert_array_equal(ids[12:16], [100, 101, 102, 103])
+    np.testing.assert_array_equal(ids[:6], [104, 105, 106, 107, 108, 109])
+    np.testing.assert_array_equal(ids[6:12], np.arange(6, 12))

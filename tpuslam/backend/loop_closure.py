@@ -131,20 +131,42 @@ class LoopClosure:
         )
 
     def _add_impl(self, db, keyframe_id, descriptors, xy, kp_valid, map_points,
-                  mp_valid, bow=None):
+                  mp_valid, bow=None, enabled=None):
+        """Functional ring insert; ``enabled=False`` is a masked no-op.
+
+        The no-op is a per-row select + in-bounds ``.at[slot].set`` (a
+        dynamic-update-slice touching two rows), NOT a whole-DB
+        ``jnp.where`` — selecting the full database per scan step costs
+        ~30 MB of HBM traffic each iteration (same rationale as
+        ``map.insert_keyframe``; ``mode="drop"`` would lower to a scatter).
+        """
         slot = db.count % db.capacity
         if bow is None:
             bow = self.vocabulary.transform(descriptors, kp_valid)
+        if enabled is None:
+            write = lambda buf, new: buf.at[slot].set(new)  # noqa: E731
+            count = db.count + 1
+            last_id = keyframe_id
+        else:
+            en = jnp.asarray(enabled)
+
+            def write(buf, new):
+                old = buf[slot]
+                e = en.reshape((1,) * old.ndim) if old.ndim else en
+                return buf.at[slot].set(jnp.where(e, new, old))
+
+            count = db.count + en.astype(jnp.int32)
+            last_id = jnp.where(en, keyframe_id, db.last_id)
         return KeyframeDB(
-            bow=db.bow.at[slot].set(bow),
-            xy=db.xy.at[slot].set(xy),
-            kp_valid=db.kp_valid.at[slot].set(kp_valid),
-            descriptors=db.descriptors.at[slot].set(descriptors),
-            map_points=db.map_points.at[slot].set(map_points),
-            mp_valid=db.mp_valid.at[slot].set(mp_valid),
-            ids=db.ids.at[slot].set(keyframe_id),
-            count=db.count + 1,
-            last_id=keyframe_id,
+            bow=write(db.bow, bow),
+            xy=write(db.xy, xy),
+            kp_valid=write(db.kp_valid, kp_valid),
+            descriptors=write(db.descriptors, descriptors),
+            map_points=write(db.map_points, map_points),
+            mp_valid=write(db.mp_valid, mp_valid),
+            ids=write(db.ids, jnp.asarray(keyframe_id, jnp.int32)),
+            count=count,
+            last_id=last_id,
         )
 
     # --- detect --------------------------------------------------------------------
@@ -348,46 +370,144 @@ class LoopClosure:
         self, db, frame_ids, enabled, descriptors, xy, kp_valid, map_points,
         mp_valid, K, keys,
     ):
-        # The BoW transforms (Hamming word assignment + TF-IDF) depend only
-        # on each frame's own descriptors, so they run batch-parallel here
-        # instead of once per frame inside the sequential scan.
-        bow_det = jax.vmap(self.vocabulary.transform)(
-            descriptors, kp_valid & enabled[:, None]
-        )
+        """Whole-chunk detection + insert, fully batched (no per-frame scan).
+
+        Frame i's sequential database view is "pre-chunk DB + enabled
+        frames j<i", so the BoW gates decompose into two batched score
+        matrices — query-vs-snapshot (B, C) and query-vs-chunk (B, B) with
+        a lower-triangular eligibility mask — instead of B sequential
+        matvecs.  The per-frame carried gate state (DB size, last inserted
+        id) is a cumsum / prefix-max over the enabled mask.  The insert
+        becomes ONE contiguous ring-window blit of the enabled rows (the
+        same roll→select→roll-back trick as ``map.insert_points``).  The
+        round-2 sequential scan of gates+insert measured ~6 ms/chunk of
+        per-step small-op overhead; this whole path is a few matmuls.
+
+        Exactness caveat (documented deviation): within a chunk that
+        overflows the ring (db.count + B > capacity), later frames can
+        still match keyframes whose slots earlier chunk frames recycled —
+        the scored snapshot is per-chunk, not per-frame.  With the default
+        512-keyframe capacity this affects only the already-lossy
+        overflow regime; detection there is strictly *wider*, and
+        verification still runs on the matched keyframe's stored data.
+
+        Geometric verification stays batched over the chunk and never
+        feeds back into the DB (a ``lax.cond`` per frame measured ~4 ms of
+        overhead per scan iteration on TPU — see round-2 notes).
+        """
+        cfg = self.config
+        B = descriptors.shape[0]
+        C = db.capacity
+        if C < B:
+            raise ValueError(
+                f"keyframe DB capacity {C} < chunk size {B}: the ring-window "
+                "insert blit needs one window per chunk"
+            )
+        int_min = jnp.iinfo(jnp.int32).min + 1
+
+        # One BoW transform per frame: detection masks disabled frames'
+        # keypoints to nothing, and transform() of an empty mask is exactly
+        # the zero vector — so the detection-side BoW is a masked copy of
+        # the insert-side one (the transform pair measured 4.4 ms/chunk,
+        # half of it the duplicate).
         bow_add = jax.vmap(self.vocabulary.transform)(descriptors, kp_valid)
+        bow_det = jnp.where(enabled[:, None], bow_add, 0.0)
 
-        # Sequential part: BoW gates + candidate snapshot + DB insert.  The
-        # expensive geometric verification is NOT in the scan — a lax.cond
-        # inside a scanned body measured ~4 ms/iteration of pure overhead on
-        # TPU (~60 ms/chunk, 17× the standalone cost of the same programs);
-        # instead the scan emits each frame's candidate arrays (point-in-time
-        # gather, so ring-buffer wraps within the chunk stay correct) and
-        # verification runs batched over the whole chunk afterwards.
-        # Verification never feeds back into the DB, so this is exact.
-        def step(db, xs):
-            fid, en, d, x, kv, mp, mpv, bq, ba = xs
-            best_slot, cand_id, cand_ok, max_score = self._gates_impl(db, bq)
-            cand = self._gather_candidate(db, best_slot)
-            db2 = self._add_impl(db, fid, d, x, kv, mp, mpv, bow=ba)
-            db = jax.tree.map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(en, (1,) * new.ndim), new, old
-                ),
-                db2,
-                db,
-            )
-            gates = (
-                jnp.where(en, cand_id, -1),
-                cand_ok & en,
-                jnp.where(jnp.isfinite(max_score), max_score, 0.0),
-            )
-            return db, (gates, cand)
+        # --- per-frame sequential gate state, batched ------------------------
+        en_i32 = enabled.astype(jnp.int32)
+        ins_before = jnp.cumsum(en_i32) - en_i32  # enabled j<i
+        count_i = db.count + ins_before  # DB size frame i sees
+        fid_en = jnp.where(enabled, frame_ids, int_min)
+        cummax = jax.lax.associative_scan(jnp.maximum, fid_en)
+        prev_cummax = jnp.concatenate(
+            [jnp.full((1,), int_min, jnp.int32), cummax[:-1]]
+        )
+        last_id_i = jnp.maximum(db.last_id, prev_cummax)  # (B,)
 
-        db, ((cand_ids, cand_oks, bow_scores), cands) = jax.lax.scan(
-            step,
-            db,
-            (frame_ids, enabled, descriptors, xy, kp_valid, map_points,
-             mp_valid, bow_det, bow_add),
+        # --- BoW scores + eligibility (reference loop_closure.cpp:111-147) ---
+        scores_db = bow_det @ db.bow.T  # (B, C)
+        scores_in = bow_det @ bow_add.T  # (B, B)
+        mfd = cfg.min_frames_difference
+        occupied = db.ids >= 0
+        elig_db = occupied[None, :] & (
+            jnp.abs(last_id_i[:, None] - db.ids[None, :]) >= mfd
+        )
+        tri = jnp.arange(B)
+        elig_in = (
+            enabled[None, :]
+            & (tri[None, :] < tri[:, None])
+            & (jnp.abs(last_id_i[:, None] - frame_ids[None, :]) >= mfd)
+        )
+        all_scores = jnp.concatenate([scores_db, scores_in], axis=1)
+        all_ids = jnp.concatenate([db.ids, frame_ids])  # (C+B,)
+        elig = jnp.concatenate([elig_db, elig_in], axis=1)
+        masked = jnp.where(elig, all_scores, -jnp.inf)
+        best = jnp.argmax(masked, axis=1)  # (B,)
+        max_score = jnp.take_along_axis(masked, best[:, None], 1)[:, 0]
+        best_ids = all_ids[best]
+
+        # Second-best gate (grouped or literal — see _gates_impl).
+        if cfg.second_best_grouped:
+            near_best = (
+                jnp.abs(all_ids[None, :] - best_ids[:, None]) < mfd
+            )
+        else:
+            near_best = jnp.arange(C + B)[None, :] == best[:, None]
+        second = jnp.where(elig & ~near_best, all_scores, -jnp.inf).max(axis=1)
+        second = jnp.maximum(second, 0.0)  # reference seeds secondMax at 0.0
+
+        cand_oks = (
+            enabled
+            & (count_i >= cfg.min_db_size)
+            & (jnp.sum(bow_det, axis=1) > 0)
+            & jnp.any(elig, axis=1)
+            & (max_score >= cfg.min_absolute_score)
+            & (max_score >= cfg.relative_score_factor * second)
+        )
+        cand_ids = jnp.where(cand_oks, best_ids, -1)
+        bow_scores = jnp.where(jnp.isfinite(max_score), max_score, 0.0)
+
+        # --- candidate data: DB snapshot or the chunk's own frame ------------
+        from_db = best < C
+        slot = jnp.clip(best, 0, C - 1)
+        j_in = jnp.clip(best - C, 0, B - 1)
+
+        def pick(db_arr, chunk_arr):
+            sel = from_db.reshape((B,) + (1,) * (db_arr.ndim - 1))
+            return jnp.where(sel, db_arr[slot], chunk_arr[j_in])
+
+        cands = (
+            pick(db.descriptors, descriptors),
+            pick(db.xy, xy),
+            pick(db.kp_valid, kp_valid),
+            pick(db.map_points, map_points),
+            pick(db.mp_valid, mp_valid),
+        )
+
+        # --- batched ring insert: one contiguous-window blit -----------------
+        n_en = jnp.sum(en_i32)
+        w0 = db.count % C
+        order = jnp.argsort(jnp.where(enabled, tri, B + tri))  # enabled first
+        written = tri < n_en  # block rows actually inserted
+
+        def blit(target, block):
+            rolled = jnp.roll(target, -w0, axis=0)
+            w = written.reshape((B,) + (1,) * (target.ndim - 1))
+            head = jnp.where(w, block, rolled[:B])
+            return jnp.roll(
+                jnp.concatenate([head, rolled[B:]], axis=0), w0, axis=0
+            )
+
+        db = KeyframeDB(
+            bow=blit(db.bow, bow_add[order]),
+            xy=blit(db.xy, xy[order]),
+            kp_valid=blit(db.kp_valid, kp_valid[order]),
+            descriptors=blit(db.descriptors, descriptors[order]),
+            map_points=blit(db.map_points, map_points[order]),
+            mp_valid=blit(db.mp_valid, mp_valid[order]),
+            ids=blit(db.ids, frame_ids[order]),
+            count=db.count + n_en,
+            last_id=jnp.maximum(db.last_id, cummax[-1]),
         )
 
         verified, T, num_inliers = jax.vmap(
