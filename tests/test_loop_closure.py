@@ -454,3 +454,71 @@ def test_process_chunk_ring_wrap(loop_closure, loop_features):
     np.testing.assert_array_equal(ids[12:16], [100, 101, 102, 103])
     np.testing.assert_array_equal(ids[:6], [104, 105, 106, 107, 108, 109])
     np.testing.assert_array_equal(ids[6:12], np.arange(6, 12))
+
+
+def test_verify_budget_compaction(vocabulary, loop_closure, loop_features):
+    """With verify_budget V, the first V candidate frames of a chunk must
+    verify exactly as the unbudgeted path; over-budget candidates keep
+    their candidate_id/bow_score but report success=False."""
+    from dataclasses import replace
+
+    Kj = jnp.asarray(LOOP_K, jnp.float32)
+    B = len(loop_features)
+    mps = [backprojected_points(f[0], LOOP_K, seed=i)
+           for i, f in enumerate(loop_features)]
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    desc_b = jnp.stack([d for _, d in loop_features])
+    xy_b = jnp.stack([k.xy for k, _ in loop_features])
+    kv_b = jnp.stack([k.valid for k, _ in loop_features])
+    mp_b = jnp.stack(mps)
+    args = (jnp.arange(B, dtype=jnp.int32), jnp.ones(B, bool),
+            desc_b, xy_b, kv_b, mp_b, kv_b, Kj, keys)
+
+    def run(budget):
+        lc = LoopClosure(
+            vocabulary,
+            replace(loop_closure.config, verify_budget=budget),
+            loop_closure.matcher_config,
+        )
+        db = lc.new_db(desc_b.shape[1])
+        return lc.process_chunk(db, *args)
+
+    _, full = run(0)
+    n_cand = int(np.sum(np.asarray(full.candidate_id) >= 0))
+    assert n_cand >= 2, "fixture must produce multiple candidates"
+    cand_order = np.flatnonzero(np.asarray(full.candidate_id) >= 0)
+
+    # Budget covering all candidates: identical results.
+    db_a, res_a = run(n_cand)
+    for field in ("candidate_id", "success", "matched_keyframe_id",
+                  "num_inliers"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_a, field)), np.asarray(getattr(full, field))
+        )
+    np.testing.assert_allclose(
+        np.asarray(res_a.relative_transform),
+        np.asarray(full.relative_transform), atol=1e-6,
+    )
+
+    # Budget of 1: only the first candidate frame verifies; the rest are
+    # dropped (success=False, identity transform) but keep the gate output.
+    _, res_b = run(1)
+    first = cand_order[0]
+    assert bool(res_b.success[first]) == bool(full.success[first])
+    np.testing.assert_array_equal(
+        np.asarray(res_b.candidate_id), np.asarray(full.candidate_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.bow_score), np.asarray(full.bow_score), atol=1e-6
+    )
+    for i in cand_order[1:]:
+        assert not bool(res_b.success[i])
+        np.testing.assert_array_equal(
+            np.asarray(res_b.relative_transform[i]), np.eye(4, dtype=np.float32)
+        )
+    # The database insert is budget-independent.
+    db_f, _ = run(0)
+    np.testing.assert_array_equal(np.asarray(db_a.ids), np.asarray(db_f.ids))
+    np.testing.assert_allclose(
+        np.asarray(db_a.bow), np.asarray(db_f.bow), atol=1e-6
+    )

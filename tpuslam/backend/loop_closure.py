@@ -510,12 +510,33 @@ class LoopClosure:
             last_id=jnp.maximum(db.last_id, cummax[-1]),
         )
 
-        verified, T, num_inliers = jax.vmap(
-            self._verify_impl, in_axes=(0,) * 9 + (None, 0)
-        )(
-            descriptors, xy, kp_valid & enabled[:, None], *cands, cand_oks,
-            K, keys,
-        )
+        # --- geometric verification -------------------------------------------
+        # Candidates are rare, yet the vmapped verification program (full
+        # K×K re-match + 512-hypothesis RANSAC-PnP per frame) costs the same
+        # whether candidate_ok masks it to a no-op or not.  With a
+        # verify_budget V < B, gather the (at most V) candidate frames into
+        # a dense block, verify only those, and scatter the verdicts back;
+        # frames over budget (>V candidates in ONE chunk — temporally
+        # redundant for the pose graph) report success=False.
+        kpv_en = kp_valid & enabled[:, None]
+        V = self.config.verify_budget
+        if 0 < V < B:
+            sel = jnp.argsort(jnp.where(cand_oks, tri, B + tri))[:V]
+            verified_v, T_v, ni_v = jax.vmap(
+                self._verify_impl, in_axes=(0,) * 9 + (None, 0)
+            )(
+                descriptors[sel], xy[sel], kpv_en[sel],
+                *(c[sel] for c in cands), cand_oks[sel], K, keys[sel],
+            )
+            verified = jnp.zeros(B, bool).at[sel].set(verified_v)
+            T = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32), (B, 4, 4)
+            ).at[sel].set(T_v)
+            num_inliers = jnp.zeros(B, jnp.int32).at[sel].set(ni_v)
+        else:
+            verified, T, num_inliers = jax.vmap(
+                self._verify_impl, in_axes=(0,) * 9 + (None, 0)
+            )(descriptors, xy, kpv_en, *cands, cand_oks, K, keys)
         success = cand_oks & verified
         eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), T.shape)
         results = LoopResult(

@@ -167,6 +167,15 @@ class LoopClosureConfig:
     # *distinct* places) without punishing neighbours of the true match.
     # False reproduces the reference's literal gate.
     second_best_grouped: bool = True
+    # Geometric-verification budget per chunk: at most this many frames of
+    # a chunk run the re-match + RANSAC-PnP verification (frames with BoW
+    # candidates first, in frame order).  Candidates are rare — paying the
+    # full per-frame verification program for all batch_size frames is the
+    # single largest loop-closure cost; a small budget keeps the semantics
+    # on realistic sequences (consecutive over-budget candidates are
+    # temporally redundant for the pose graph) at a fraction of the cost.
+    # 0 (default) verifies every frame — exact sequential semantics.
+    verify_budget: int = 0
     # TPU capacity fields.
     max_keyframes: int = 512
 
@@ -189,6 +198,8 @@ class LoopClosureConfig:
             raise ValueError("'RansacMaxIterations' must be a positive integer.")
         if self.ransac_reprojection_threshold <= 0.0:
             raise ValueError("'RansacReprojectionThreshold' must be a positive value.")
+        if self.verify_budget < 0:
+            raise ValueError("'VerifyBudget' must be a non-negative integer.")
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "LoopClosureConfig":
@@ -205,6 +216,7 @@ class LoopClosureConfig:
                 _get(doc, "RansacReprojectionThreshold", 2.0)
             ),
             second_best_grouped=bool(int(_get(doc, "SecondBestGrouped", 1))),
+            verify_budget=int(_get(doc, "VerifyBudget", 0)),
             max_keyframes=int(_get(doc, "MaxKeyframes", 512)),
         )
 
