@@ -314,3 +314,21 @@ def test_compaction_budget_overflow_keeps_leftovers():
     assert moved.sum() <= 128
     assert moved.sum() > 64  # the budgeted block did optimise
     assert float(ba.final_cost) <= float(ba.initial_cost)
+
+
+def test_ba_adaptive_rtol_stops_early_at_same_optimum():
+    """rtol>0 must stop once accepted steps plateau, reporting the true
+    iteration count, and land within a whisker of the fixed-length run."""
+    m, _ = build_synthetic_map()
+    Kf = jnp.asarray(K, jnp.float32)
+    fixed = bundle_adjust(m, Kf, iterations=20)
+    adaptive = bundle_adjust(m, Kf, iterations=20, rtol=1e-3)
+    assert int(adaptive.iterations) < 20
+    assert int(fixed.iterations) == 20
+    # Same basin: final cost within 1% of the exhaustive run.
+    assert float(adaptive.final_cost) <= float(fixed.final_cost) * 1.01
+    # rtol=0 keeps bit-identical fixed-length behaviour.
+    fixed2 = bundle_adjust(m, Kf, iterations=20, rtol=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(fixed.map.kf_t), np.asarray(fixed2.map.kf_t)
+    )

@@ -87,6 +87,11 @@ class SlamSystem:
     # salted timing) with ~1.7× headroom.  Overflow degrades gracefully —
     # lowest-priority points stay valid but unoptimised.
     ba_active_points: int = 512
+    # Adaptive LM termination (see backend.ba.bundle_adjust): stop early
+    # once an accepted step improves the cost by <0.1% relative.  The
+    # fixtures plateau at 4-5 of the 8 budgeted iterations; 0 restores the
+    # fixed-length loop.
+    ba_rtol: float = 1e-3
     # 4096 slots cover the 8-keyframe window with ~3× headroom (each frame
     # contributes ~150 gated points); BA cost scales linearly in capacity.
     max_map_points: int = 4096
@@ -143,7 +148,7 @@ class SlamSystem:
         if self.ba_interval <= kf_per_chunk:
             ba = bundle_adjust(
                 m, self._K, iterations=self.ba_iterations,
-                active_points=self.ba_active_points,
+                active_points=self.ba_active_points, rtol=self.ba_rtol,
             )
             m2 = jax.tree.map(
                 lambda new, old: jnp.where(due, new, old), ba.map, m
@@ -158,7 +163,7 @@ class SlamSystem:
         def do_ba(m_in):
             ba = bundle_adjust(
                 m_in, self._K, iterations=self.ba_iterations,
-                active_points=self.ba_active_points,
+                active_points=self.ba_active_points, rtol=self.ba_rtol,
             )
             return ba.map, ba.initial_cost, ba.final_cost, jnp.asarray(True)
 
@@ -565,7 +570,7 @@ class SlamSystem:
             if self.enable_ba and kf_expected_since_ba >= self.ba_interval:
                 ba = bundle_adjust(
                     world_map, self._K, iterations=self.ba_iterations,
-                    active_points=self.ba_active_points,
+                    active_points=self.ba_active_points, rtol=self.ba_rtol,
                 )
                 world_map = ba.map
                 if pnp_mode:
