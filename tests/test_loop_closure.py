@@ -522,3 +522,83 @@ def test_verify_budget_compaction(vocabulary, loop_closure, loop_features):
     np.testing.assert_allclose(
         np.asarray(db_a.bow), np.asarray(db_f.bow), atol=1e-6
     )
+
+
+def test_relocalize_chunk_recovers_stored_pose(loop_closure, loop_features):
+    """A lost frame that revisits a stored view must relocalize to (close
+    to) that keyframe's stored absolute pose; frames that don't need
+    relocalization must report ok=False."""
+    lc = loop_closure
+    Kj = jnp.asarray(LOOP_K, jnp.float32)
+    B = len(loop_features)
+    mps = [backprojected_points(f[0], LOOP_K, seed=i)
+           for i, f in enumerate(loop_features)]
+
+    # Distinct synthetic absolute poses per keyframe (translations only —
+    # the stored map points live in each keyframe's camera frame, so any
+    # rigid pose is consistent).
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    poses[:, :3, 3] = np.arange(B)[:, None] * np.array([1.0, 0.25, 2.0])
+
+    db = lc.new_db(loop_features[0][0].xy.shape[0])
+    for i in range(B):
+        kps, desc = loop_features[i]
+        db = lc.add_keyframe(
+            db, i, desc, kps.xy, kps.valid, mps[i], kps.valid,
+            pose=jnp.asarray(poses[i]),
+        )
+
+    # Query chunk: frame 0's own features again (an exact revisit) at
+    # position 0, plus the other frames with need=False.
+    desc_b = jnp.stack([d for _, d in loop_features])
+    xy_b = jnp.stack([k.xy for k, _ in loop_features])
+    kv_b = jnp.stack([k.valid for k, _ in loop_features])
+    need = jnp.zeros(B, bool).at[0].set(True)
+    ok, T, ni, matched = lc.relocalize_chunk(
+        db, need, desc_b, xy_b, kv_b, Kj,
+        jax.random.split(jax.random.PRNGKey(3), B), budget=2,
+    )
+    assert bool(ok[0]), "exact revisit must relocalize"
+    assert int(matched[0]) == 0
+    assert int(ni[0]) >= lc.config.min_inliers_for_pnp
+    # Identical view ⇒ PnP relative ≈ identity ⇒ recovered pose ≈ stored.
+    np.testing.assert_allclose(
+        np.asarray(T[0]), poses[0], atol=0.05
+    )
+    # Un-needy frames are untouched.
+    assert not bool(ok[1:].any())
+    np.testing.assert_array_equal(np.asarray(matched[1:]), -1)
+    np.testing.assert_allclose(
+        np.asarray(T[1:]), np.tile(np.eye(4), (B - 1, 1, 1)), atol=1e-6
+    )
+
+
+def test_relocalize_respects_budget_and_empty_db(loop_closure, loop_features):
+    lc = loop_closure
+    Kj = jnp.asarray(LOOP_K, jnp.float32)
+    B = len(loop_features)
+    desc_b = jnp.stack([d for _, d in loop_features])
+    xy_b = jnp.stack([k.xy for k, _ in loop_features])
+    kv_b = jnp.stack([k.valid for k, _ in loop_features])
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+
+    # Empty DB: nothing to relocalize against.
+    db0 = lc.new_db(desc_b.shape[1])
+    ok, _, _, matched = lc.relocalize_chunk(
+        db0, jnp.ones(B, bool), desc_b, xy_b, kv_b, Kj, keys
+    )
+    assert not bool(ok.any())
+    np.testing.assert_array_equal(np.asarray(matched), -1)
+
+    # Budget 1 with two needy revisits: only the first one verifies.
+    mps = [backprojected_points(f[0], LOOP_K, seed=i)
+           for i, f in enumerate(loop_features)]
+    db = lc.new_db(desc_b.shape[1])
+    for i in range(B):
+        kps, desc = loop_features[i]
+        db = lc.add_keyframe(db, i, desc, kps.xy, kps.valid, mps[i], kps.valid)
+    need = jnp.zeros(B, bool).at[2].set(True).at[5].set(True)
+    ok, _, _, _ = lc.relocalize_chunk(
+        db, need, desc_b, xy_b, kv_b, Kj, keys, budget=1
+    )
+    assert bool(ok[2]) and not bool(ok[5])

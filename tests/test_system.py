@@ -248,3 +248,58 @@ def test_pnp_slam_run_sequence_matches_streaming(data_dir):
     assert staged["poses"].shape == streaming["poses"].shape
     np.testing.assert_allclose(staged["poses"], streaming["poses"], atol=1e-4)
     assert len(staged["ba_events"]) == len(streaming["ba_events"])
+
+
+def test_relocalization_rescues_corrupted_sequence(data_dir):
+    """Blind the camera mid-sequence: without relocalization the chain
+    re-anchors at the stale pose and the trajectory ends short; with it,
+    the first clean frame BoW-matches a stored keyframe, PnP-verifies, and
+    snaps back to an absolute pose — the end position must land far closer
+    to the clean run's."""
+    cam = Camera.from_yaml(CONFIGS / "camera.yml")
+    cfg = SlamConfig(
+        detector=DetectorConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio_test_threshold=0.8),
+        pose=PoseConfig(num_hypotheses=1024, inlier_threshold_px=2.0),
+        batch_size=5,
+    )
+
+    stream = FrameStream(data_dir / "images")
+    frames = np.stack(
+        [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    )
+    corrupted = frames.copy()
+    rng = np.random.default_rng(0)
+    corrupted[4] = rng.integers(0, 256, frames[0].shape, dtype=np.uint8)
+    corrupted[5] = rng.integers(0, 256, frames[0].shape, dtype=np.uint8)
+
+    def run(enable_reloc):
+        system = SlamSystem(
+            cam,
+            cfg,
+            vocabulary=CONFIGS / "vocabulary.npz",
+            keyframe_interval=1,
+            ba_window=8,
+            ba_interval=3,
+            ba_iterations=5,
+            max_map_points=4096,
+            enable_pose_graph=False,  # isolate the relocalization effect
+            enable_relocalization=enable_reloc,
+        )
+        return system.run_sequence(corrupted)["poses"]
+
+    clean_sys = SlamSystem(
+        cam, cfg, vocabulary=CONFIGS / "vocabulary.npz",
+        keyframe_interval=1, ba_window=8, ba_interval=3, ba_iterations=5,
+        max_map_points=4096, enable_pose_graph=False,
+    )
+    clean = clean_sys.run_sequence(frames)["poses"]
+
+    with_r = run(True)
+    without_r = run(False)
+    end_err_with = np.linalg.norm(with_r[-1, :3, 3] - clean[-1, :3, 3])
+    end_err_without = np.linalg.norm(without_r[-1, :3, 3] - clean[-1, :3, 3])
+    # Without rescue the chain loses the two blinded steps (~2 units of
+    # forward motion); relocalization must recover most of it.
+    assert end_err_without > 1.0, end_err_without
+    assert end_err_with < 0.5 * end_err_without, (end_err_with, end_err_without)

@@ -44,6 +44,8 @@ class KeyframeDB(NamedTuple):
     descriptors: jax.Array  # (C, K, B) uint8
     map_points: jax.Array  # (C, K, 3) float32 — 3D points per keypoint
     mp_valid: jax.Array  # (C, K) bool — keypoint has a valid 3D map point
+    pose: jax.Array  # (C, 4, 4) float32 — T_world_cam at insert (relocalization
+    # anchor; identity when the caller tracks no absolute poses)
     ids: jax.Array  # (C,) int32 — keyframe ids (-1 = empty slot)
     count: jax.Array  # () int32 — number of stored keyframes
     last_id: jax.Array  # () int32 — id of the last added keyframe
@@ -74,6 +76,9 @@ def empty_db(
         descriptors=jnp.zeros((capacity, max_keypoints, desc_bytes), jnp.uint8),
         map_points=jnp.zeros((capacity, max_keypoints, 3), jnp.float32),
         mp_valid=jnp.zeros((capacity, max_keypoints), bool),
+        pose=jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)
+        ).copy(),
         ids=jnp.full((capacity,), -1, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
         last_id=jnp.asarray(-1, jnp.int32),
@@ -99,6 +104,9 @@ class LoopClosure:
         self._detect = jax.jit(self._detect_impl)
         self._add = jax.jit(self._add_impl)
         self._process_chunk_jit = jax.jit(self._process_chunk_impl)
+        self._relocalize_jit = jax.jit(
+            self._relocalize_impl, static_argnames=("budget",)
+        )
 
     def new_db(self, max_keypoints: int, desc_bytes: int = 32) -> KeyframeDB:
         return empty_db(
@@ -116,22 +124,26 @@ class LoopClosure:
         kp_valid: jax.Array,
         map_points: jax.Array,
         mp_valid: jax.Array | None = None,
+        pose: jax.Array | None = None,
     ) -> KeyframeDB:
         """Functional insert (ring buffer when capacity is exceeded).
 
         ``mp_valid`` marks which keypoints carry real 3D map points (defaults
         to ``kp_valid`` — the reference stores a 3D point for every keypoint,
-        ``loop_closure.cpp:96-109``).
+        ``loop_closure.cpp:96-109``).  ``pose`` is the keyframe's T_world_cam
+        (the relocalization anchor; defaults to identity).
         """
         if mp_valid is None:
             mp_valid = kp_valid
+        if pose is None:
+            pose = jnp.eye(4, dtype=jnp.float32)
         return self._add(
             db, jnp.asarray(keyframe_id, jnp.int32), descriptors, xy, kp_valid,
-            map_points, mp_valid,
+            map_points, mp_valid, pose,
         )
 
     def _add_impl(self, db, keyframe_id, descriptors, xy, kp_valid, map_points,
-                  mp_valid, bow=None, enabled=None):
+                  mp_valid, pose=None, bow=None, enabled=None):
         """Functional ring insert; ``enabled=False`` is a masked no-op.
 
         The no-op is a per-row select + in-bounds ``.at[slot].set`` (a
@@ -143,6 +155,8 @@ class LoopClosure:
         slot = db.count % db.capacity
         if bow is None:
             bow = self.vocabulary.transform(descriptors, kp_valid)
+        if pose is None:
+            pose = jnp.eye(4, dtype=jnp.float32)
         if enabled is None:
             write = lambda buf, new: buf.at[slot].set(new)  # noqa: E731
             count = db.count + 1
@@ -164,6 +178,7 @@ class LoopClosure:
             descriptors=write(db.descriptors, descriptors),
             map_points=write(db.map_points, map_points),
             mp_valid=write(db.mp_valid, mp_valid),
+            pose=write(db.pose, jnp.asarray(pose, jnp.float32)),
             ids=write(db.ids, jnp.asarray(keyframe_id, jnp.int32)),
             count=count,
             last_id=last_id,
@@ -337,6 +352,187 @@ class LoopClosure:
             success=success,
         )
 
+    # --- relocalization -------------------------------------------------------------
+    def _reloc_verify_impl(
+        self, descriptors, xy, kp_valid, cand_desc, cand_xy, cand_kp_valid,
+        cand_mp, cand_mp_valid, candidate_ok, K, key,
+    ):
+        """Two-view verification for relocalization (not PnP).
+
+        Loop verification PnPs the candidate's stored per-keypoint 3D
+        points because a *revisit* has near-zero baseline to the matched
+        keyframe — reprojection there is insensitive to the points' depth
+        noise.  Relocalization is the opposite regime: the lost frame may
+        sit several baselines away, where one-pair triangulation depth
+        error dominates (measured on the KITTI fixture: 4 frames apart,
+        only ~38% of stored points reproject within 8 px under the TRUE
+        relative pose — RANSAC-PnP finds nothing).  So verify 2D↔2D
+        instead: essential-matrix RANSAC over ALL descriptor matches
+        (depth-free), then recover the metric baseline from the stored 3D
+        depths by robust median ratio — the same depth-ratio trick as the
+        tracker's monocular scale propagation (``model/slam.py`` step 7).
+
+        The two regimes are complementary — PnP is exactly right at small
+        baseline (and degenerate-proof there, while the essential matrix is
+        not), so this runs BOTH and prefers PnP whenever it verifies.
+
+        Returns ``(ok, T, num_inliers)`` with the SAME convention as
+        ``_verify_impl``: ``x_query = T·x_cand`` (candidate-camera →
+        query-camera), so callers invert identically.
+        """
+        from tpuslam.frontend.pose import (
+            estimate_relative_pose,
+            triangulate_matched_points,
+        )
+
+        cfg = self.config
+        mcfg = self.matcher_config
+        key, key_pnp = jax.random.split(key)
+        ok_pnp, T_pnp, ni_pnp = self._verify_impl(
+            descriptors, xy, kp_valid, cand_desc, cand_xy, cand_kp_valid,
+            cand_mp, cand_mp_valid, candidate_ok, K, key_pnp,
+        )
+        cand_kp_valid = cand_kp_valid & candidate_ok
+        match = match_descriptors(
+            descriptors, cand_desc, kp_valid, cand_kp_valid, xy, cand_xy,
+            ratio_threshold=mcfg.ratio_test_threshold,
+            max_jump_radius=mcfg.max_jump_radius,
+            use_ratio_test=mcfg.use_ratio_test,
+            filter_matches=False,
+            use_spatial_penalty=True,
+        )
+        q = jnp.maximum(match.query_idx, 0)
+        t_i = jnp.maximum(match.train_idx, 0)
+        pts_c = cand_xy[t_i]
+        pts_q = xy[q]
+        # 5-point Nistér samples: the lost-frame match pool is small
+        # (~80 matches, ~40% inliers) — an 8-point sample is all-inlier
+        # with p≈0.1% (success flipped with the PRNG key, measured 1/4
+        # seeds); 5-point is p≈1.3% → stable (8/8 seeds).
+        res = estimate_relative_pose(
+            pts_c, pts_q, match.valid, K, key,
+            num_hypotheses=1024,
+            sample_size=5,
+            inlier_threshold_px=cfg.ransac_reprojection_threshold,
+            min_matches=cfg.min_matches_for_pnp,
+        )
+        # metric scale: stored depth vs unit-baseline triangulated depth
+        X_unit = triangulate_matched_points(K, res.R, res.t, pts_c, pts_q)
+        z_unit = X_unit[:, 2]
+        z_stored = cand_mp[t_i][:, 2]
+        scale_ok = (
+            match.valid & res.inliers & cand_mp_valid[t_i]
+            & (z_unit > 1e-3) & (z_stored > 1e-3)
+        )
+        ratio = jnp.where(scale_ok, z_stored / jnp.maximum(z_unit, 1e-6),
+                          jnp.nan)
+        scale = jnp.nanmedian(ratio)
+        n_scale = jnp.sum(scale_ok.astype(jnp.int32))
+        ok = (
+            candidate_ok
+            & res.success
+            & (n_scale >= cfg.min_inliers_for_pnp)
+            & jnp.isfinite(scale)
+            & (scale > 0)
+        )
+        T = jnp.eye(4, dtype=jnp.float32)
+        T = T.at[:3, :3].set(res.R).at[:3, 3].set(
+            res.t * jnp.where(jnp.isfinite(scale), scale, 1.0)
+        )
+        return (
+            ok_pnp | ok,
+            jnp.where(ok_pnp, T_pnp, T),
+            jnp.where(ok_pnp, ni_pnp, res.num_inliers),
+        )
+
+    def relocalize_chunk(
+        self,
+        db: KeyframeDB,
+        need: jax.Array,  # (B,) bool — frame lost tracking, wants a pose
+        descriptors: jax.Array,  # (B, K, D) uint8
+        xy: jax.Array,  # (B, K, 2)
+        kp_valid: jax.Array,  # (B, K)
+        K: jax.Array,  # (3, 3)
+        keys: jax.Array,  # (B, 2)
+        budget: int = 2,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Jitted wrapper of :meth:`_relocalize_impl`."""
+        return self._relocalize_jit(
+            db, need, descriptors, xy, kp_valid, K, keys, budget
+        )
+
+    def _relocalize_impl(
+        self, db, need, descriptors, xy, kp_valid, K, keys, budget=2,
+    ):
+        """Global relocalization of lost frames against the keyframe DB.
+
+        The capability the reference's architecture implies but never builds
+        (its ``LoopClosure`` computes relative transforms and drops them,
+        ``loop_closure.cpp:238-274``): when tracking fails, find the
+        best-scoring stored keyframe by BoW — *no* temporal eligibility
+        gates, a lost frame may match ANY keyframe including its immediate
+        predecessors — verify geometrically (re-match + essential RANSAC +
+        depth-ratio scale, see :meth:`_reloc_verify_impl`), and return the
+        frame's absolute pose ``T_world_cam = db.pose[best] @ inv(T)``
+        (``T`` maps cand-cam → query-cam points, so ``inv(T)`` composes
+        poses — same convention as the pose-graph loop edges in
+        ``model/system.py``).
+
+        Lost frames are rare, so verification is always compacted to the
+        first ``budget`` needy frames of the chunk (the same dense-gather
+        trick as the ``verify_budget`` path in ``_process_chunk_impl``).
+
+        Returns ``(ok (B,), T_world_cam (B,4,4), num_inliers (B,),
+        matched_id (B,))`` — identity pose and -1 id where relocalization
+        failed or wasn't needed.
+        """
+        cfg = self.config
+        B = descriptors.shape[0]
+        bow = jax.vmap(self.vocabulary.transform)(
+            descriptors, kp_valid & need[:, None]
+        )
+        occupied = db.ids >= 0
+        scores = jnp.where(
+            occupied[None, :], bow @ db.bow.T, -jnp.inf
+        )  # (B, C)
+        best = jnp.argmax(scores, axis=1)
+        score = jnp.take_along_axis(scores, best[:, None], 1)[:, 0]
+        cand_ok = (
+            need
+            & jnp.any(occupied)
+            & (jnp.sum(bow, axis=1) > 0)
+            & (score >= cfg.min_absolute_score)
+        )
+        cands = self._gather_candidate(db, best)
+
+        tri = jnp.arange(B)
+        V = max(1, min(budget, B))
+        sel = jnp.argsort(jnp.where(cand_ok, tri, B + tri))[:V]
+        ok_v, T_v, ni_v = jax.vmap(
+            self._reloc_verify_impl, in_axes=(0,) * 9 + (None, 0)
+        )(
+            descriptors[sel], xy[sel], (kp_valid & need[:, None])[sel],
+            *(c[sel] for c in cands), cand_ok[sel], K, keys[sel],
+        )
+        ok = jnp.zeros(B, bool).at[sel].set(ok_v) & cand_ok
+        eyeB = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        T_pnp = eyeB.at[sel].set(T_v)  # (B, 4, 4) world→cam of query vs cand
+        num_inliers = jnp.zeros(B, jnp.int32).at[sel].set(ni_v)
+
+        # T_world_cam = pose_cand @ inv(T_pnp) (rigid inverse).
+        R = T_pnp[:, :3, :3]
+        t = T_pnp[:, :3, 3]
+        Rt = jnp.swapaxes(R, -1, -2)
+        T_inv = (
+            eyeB.at[:, :3, :3].set(Rt)
+            .at[:, :3, 3].set(-jnp.einsum("bij,bj->bi", Rt, t))
+        )
+        T_reloc = jnp.where(
+            ok[:, None, None], db.pose[best] @ T_inv, eyeB
+        )
+        matched = jnp.where(ok, db.ids[best], -1)
+        return ok, T_reloc, num_inliers, matched
+
     # --- whole-chunk scan ---------------------------------------------------------
     def process_chunk(
         self,
@@ -350,6 +546,7 @@ class LoopClosure:
         mp_valid: jax.Array,  # (B, K)
         K: jax.Array,  # (3, 3)
         keys: jax.Array,  # (B, 2) PRNG keys
+        poses: jax.Array | None = None,  # (B, 4, 4) T_world_cam per frame
     ) -> tuple[KeyframeDB, LoopResult]:
         """Detect + insert every keyframe of a chunk in ONE dispatch.
 
@@ -363,12 +560,12 @@ class LoopClosure:
         """
         return self._process_chunk_jit(
             db, frame_ids, enabled, descriptors, xy, kp_valid, map_points,
-            mp_valid, K, keys,
+            mp_valid, K, keys, poses,
         )
 
     def _process_chunk_impl(
         self, db, frame_ids, enabled, descriptors, xy, kp_valid, map_points,
-        mp_valid, K, keys,
+        mp_valid, K, keys, poses=None,
     ):
         """Whole-chunk detection + insert, fully batched (no per-frame scan).
 
@@ -498,6 +695,8 @@ class LoopClosure:
                 jnp.concatenate([head, rolled[B:]], axis=0), w0, axis=0
             )
 
+        if poses is None:
+            poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
         db = KeyframeDB(
             bow=blit(db.bow, bow_add[order]),
             xy=blit(db.xy, xy[order]),
@@ -505,6 +704,7 @@ class LoopClosure:
             descriptors=blit(db.descriptors, descriptors[order]),
             map_points=blit(db.map_points, map_points[order]),
             mp_valid=blit(db.mp_valid, mp_valid[order]),
+            pose=blit(db.pose, jnp.asarray(poses, jnp.float32)[order]),
             ids=blit(db.ids, frame_ids[order]),
             count=db.count + n_en,
             last_id=jnp.maximum(db.last_id, cummax[-1]),

@@ -98,6 +98,15 @@ class SlamSystem:
     enable_loop_closure: bool = True
     enable_ba: bool = True
     enable_pose_graph: bool = True
+    # Global relocalization (VO mode): frames that lose tracking query the
+    # keyframe DB by BoW (no temporal gates) and, on geometric verification,
+    # snap to an absolute pose anchored at the matched keyframe's stored
+    # pose — the recovery path the reference's architecture implies but
+    # never builds.  At most `reloc_budget` lost frames per chunk verify
+    # (loss is rare; the budget keeps the chunk program cheap).  PnP mode
+    # needs none of this: the persistent map is its tracking reference.
+    enable_relocalization: bool = True
+    reloc_budget: int = 2
 
     def __post_init__(self) -> None:
         if self.tracking not in ("vo", "pnp"):
@@ -116,6 +125,9 @@ class SlamSystem:
                 self.vocabulary, self.config.loop_closure, self.config.matcher
             )
         self._sequence_jit = jax.jit(self._sequence_impl)
+        # jitted for the streaming run() host loop (the sequence scan
+        # inlines _reloc_chunk directly)
+        self._reloc_chunk_jit = jax.jit(self._reloc_chunk)
 
     # --- shared backend stages --------------------------------------------------
     def _lc_chunk(self, db, fids, kf_enabled, result, key2, B):
@@ -125,6 +137,7 @@ class SlamSystem:
         return self.loop_closure._process_chunk_impl(
             db, fids, kf_enabled, result.desc, result.kps_xy,
             result.kps_valid, mp, mpv, self._K, jax.random.split(key2, B),
+            poses=result.poses,
         )
 
     def _ba_cond(self, m, since_ba):
@@ -171,6 +184,43 @@ class SlamSystem:
             return m_in, jnp.float32(0), jnp.float32(0), jnp.asarray(False)
 
         return jax.lax.cond(since_ba >= self.ba_interval, do_ba, no_ba, m)
+
+    def _reloc_chunk(self, db, result, valid, fids, key):
+        """Relocalize lost frames of a VO chunk; fold rescues back in.
+
+        Returns ``(result', M_last)``: the chunk result with corrected
+        poses / pose_ok, and the rigid correction carried past the chunk
+        end (to re-anchor the cross-chunk chain pose).  An absolute snap at
+        frame i overrides every earlier correction (M_i = T_reloc_i·T_i⁻¹
+        regardless of prior M — the algebra collapses), so the per-frame
+        correction is a last-snap-wins prefix maximum, not a product chain.
+        """
+        B = result.poses.shape[0]
+        need = valid & ~result.pose_ok & (fids > 0)
+        r_ok, T_reloc, _, _ = self.loop_closure._relocalize_impl(
+            db, need, result.desc, result.kps_xy, result.kps_valid,
+            self._K, jax.random.split(key, B), budget=self.reloc_budget,
+        )
+        eyeB = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        R = result.poses[:, :3, :3]
+        t = result.poses[:, :3, 3]
+        Rt = jnp.swapaxes(R, -1, -2)
+        P_inv = (
+            eyeB.at[:, :3, :3].set(Rt)
+            .at[:, :3, 3].set(-jnp.einsum("bij,bj->bi", Rt, t))
+        )
+        Msnap = T_reloc @ P_inv
+        tri = jnp.arange(B)
+        last = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(r_ok, tri, -1)
+        )
+        M = jnp.where(
+            (last >= 0)[:, None, None], Msnap[jnp.clip(last, 0)], eyeB
+        )
+        result = result._replace(
+            poses=M @ result.poses, pose_ok=result.pose_ok | r_ok
+        )
+        return result, M[-1]
 
     @staticmethod
     def _refreshed_pose(m, ran, fallback_pose):
@@ -227,6 +277,12 @@ class SlamSystem:
                 result, vo2 = self.pipeline._process_chunk(
                     frames, valid, vo, key1, with_features=True
                 )
+                if lc is not None and self.enable_relocalization:
+                    result, M_last = self._reloc_chunk(
+                        db, result, valid, fids,
+                        jax.random.fold_in(key2, 777),
+                    )
+                    vo2 = vo2._replace(pose=M_last @ vo2.pose)
                 kf_mask = ((fids % kfi) == 0) & valid
                 m2, a2 = update_map_chunk(
                     m, a, K, fids, kf_mask, result.poses, result.pose_ok,
@@ -493,6 +549,19 @@ class SlamSystem:
             n = int(valid.sum())
             B = result.poses.shape[0]
             fids_full = np.arange(frame_id, frame_id + B, dtype=np.int32)
+            if (
+                not pnp_mode
+                and self.loop_closure is not None
+                and db is not None
+                and self.enable_relocalization
+            ):
+                # identical key derivation to _sequence_impl (split-run ==
+                # single-run equality depends on it)
+                result, M_last = self._reloc_chunk_jit(
+                    db, result, jnp.asarray(valid),
+                    jnp.asarray(fids_full), jax.random.fold_in(sub_lc, 777),
+                )
+                state = state._replace(pose=M_last @ state.pose)
             if pnp_mode:
                 kf_mask = np.arange(B) < n  # every tracked frame
             else:
@@ -557,6 +626,7 @@ class SlamSystem:
                     mp_valid_kp,
                     self._K,
                     jax.random.split(sub2, B),
+                    poses=result.poses,
                 )
                 rec["loop"] = {
                     "success": lres.success,
