@@ -273,8 +273,19 @@ def test_active_window_compaction_matches_full():
     """BA over the compacted active-point block must equal BA over the full
     capacity grid when every observed point fits the budget — compaction is
     a pure layout change, not an approximation (and >4× less Hessian work
-    at 4096-slot capacity).  Points outside the active set must not move."""
+    at 4096-slot capacity).  Points outside the active set must not move.
+
+    Valid-but-UNOBSERVED points are in the map too: both paths must leave
+    them bit-untouched (the gauge renorm restores the window to its input
+    scale each step, so unmoved points are already scale-consistent —
+    rescaling them would shrink them by the step's drift while the window
+    stays put)."""
     m, _ = build_synthetic_map(capacity=512)
+    # 30 valid points nobody observes (e.g. out-of-window landmarks in a
+    # long PnP-SLAM run)
+    extra = jnp.asarray(RNG.uniform([-4, -3, 6], [4, 3, 18], (30, 3)),
+                        jnp.float32)
+    m, extra_slots = insert_points(m, extra, jnp.ones(30, bool))
     K_j = jnp.asarray(K, jnp.float32)
     full = bundle_adjust(m, K_j, iterations=6, active_points=None)
     compact = bundle_adjust(m, K_j, iterations=6, active_points=256)
@@ -299,6 +310,14 @@ def test_active_window_compaction_matches_full():
     # untouched slots (never observed, invalid) keep their buffer contents
     np.testing.assert_array_equal(
         np.asarray(full.map.points)[~pv], np.asarray(compact.map.points)[~pv]
+    )
+    # valid-but-unobserved points are bit-untouched on BOTH paths
+    es = np.asarray(extra_slots)
+    np.testing.assert_array_equal(
+        np.asarray(full.map.points)[es], np.asarray(extra)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compact.map.points)[es], np.asarray(extra)
     )
 
 

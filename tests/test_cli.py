@@ -71,3 +71,32 @@ def test_cli_timeshard_rejects_slam():
                  "--timeshard", "2", "--slam"])
     assert r.returncode != 0
     assert "timeshard" in (r.stderr + r.stdout).lower()
+
+
+def test_cli_timeshard_honours_frame_skip(tmp_path):
+    """--timeshard must process the same frame subset --frame-skip selects
+    in every other mode (it used to read every raw frame), and must reject
+    --save-state loudly instead of silently writing nothing."""
+    out = tmp_path / "traj_ts_skip.txt"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "cli.py"),
+         "-c", "configs", "-v", "tests/data/images", "-o", str(out),
+         "--batch-size", "5", "--timeshard", "2", "--frame-skip", "1",
+         "--stats"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["frames"] == 5  # 10 fixture frames, every other one
+    assert np.loadtxt(out).shape == (5, 12)
+
+    r2 = run_cli(["-c", "configs", "-v", "tests/data/images",
+                  "-o", "/tmp/x.txt", "--timeshard", "2",
+                  "--save-state", "/tmp/s.npz"])
+    assert r2.returncode != 0
+    assert "save-state" in (r2.stderr + r2.stdout).lower()

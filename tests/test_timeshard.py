@@ -149,3 +149,40 @@ def test_timesharded_matches_single_device(data_dir, kitti_frames):
     ate = ate_rmse(out["poses"], single)
     path = np.linalg.norm(np.diff(single[:, :3, 3], axis=0), axis=1).sum()
     assert ate < 0.05 * max(path, 1.0)
+
+
+def test_stitch_gates_overlap_pairs_on_pose_ok():
+    """A tracking dropout inside an overlap must not poison the Sim(3) fit:
+    with the failed pair flagged, the stitch must match the clean stitch;
+    unflagged, the corrupted pair demonstrably bends downstream segments."""
+    S, V, D = 20, 5, 3
+    n = D * S
+    gt = _smooth_trajectory(n + V)
+    rng = np.random.default_rng(2)
+    segs = []
+    for d in range(D):
+        start = 0 if d == 0 else d * S - V
+        seg = gt[start : start + S + V].copy()
+        if d:
+            import jax.numpy as jnp
+
+            Rr = np.asarray(so3_exp(jnp.asarray(rng.normal(scale=0.5, size=3))))
+            seg = apply_sim3(Rr, rng.normal(size=3), rng.uniform(0.5, 2.0), seg)
+        segs.append(seg)
+    segs = np.stack(segs)
+    # Corrupt one lead-in pose of shard 1 (a dropout re-tracked wrongly).
+    bad = segs.copy()
+    bad[1, 2, :3, 3] += np.array([5.0, -3.0, 4.0])
+    pose_ok = np.ones((D, S + V), bool)
+    pose_ok[1, 2] = False
+
+    clean = stitch_segments(segs, S, V, n)
+    poisoned = stitch_segments(bad, S, V, n)  # no gating
+    gated = stitch_segments(bad, S, V, n, pose_ok=pose_ok)
+
+    err_gated = np.linalg.norm(gated[:, :3, 3] - clean[:, :3, 3], axis=1).max()
+    err_poisoned = np.linalg.norm(
+        poisoned[:, :3, 3] - clean[:, :3, 3], axis=1
+    ).max()
+    assert err_poisoned > 0.5, err_poisoned
+    assert err_gated < 1e-6, (err_gated, err_poisoned)

@@ -109,16 +109,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.slam or args.tracking != "vo" or args.resume:
             parser.error("--timeshard supports plain VO tracking only "
                          "(no --slam/--tracking pnp/--resume)")
+        if args.save_state:
+            parser.error("--timeshard does not checkpoint (--save-state); "
+                         "per-shard VO state is not resumable")
         import numpy as np
 
         from tpuslam.dist.timeshard import run_timesharded
 
-        n_total = stream.total_frames
+        # frame_indices() honours --frame-skip (same frames every other
+        # mode would process)
+        indices = stream.frame_indices()
         if args.max_frames:
-            n_total = min(n_total, args.max_frames)
-        frames = np.stack(
-            [stream.read_frame(i)[0] for i in range(n_total)]
-        )
+            indices = indices[: args.max_frames]
+        n_total = len(indices)
+        frames = np.stack([stream.read_frame(i)[0] for i in indices])
         t0 = time.time()
         result = run_timesharded(pipeline, frames, n_shards=args.timeshard)
         dt = time.time() - t0

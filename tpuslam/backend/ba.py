@@ -199,16 +199,23 @@ def bundle_adjust(
         jnp.sum(m.kf_valid.astype(jnp.int32)) >= 2
     ) & (b0 > 1e-6) & bool(fix_first_pose)
 
+    seen_pts = jnp.any(mask, axis=0)  # (P,) — points the LM step moves
+
     def renorm_scale(R, t, X):
         s = jnp.where(gauge_ok, b0 / jnp.maximum(baseline(R, t), 1e-9), 1.0)
         C = centers(R, t)
         C0 = C[g0]
         C_new = C0 + s * (C - C0)
         t_new = -jnp.einsum("wij,wj->wi", R, C_new, precision="highest")
-        # The gauge transform is applied to EVERY valid point (unobserved
-        # ones included) so the whole map stays at one consistent scale;
-        # LM deltas themselves still move only observed points.
-        X_new = jnp.where(m.point_valid[:, None], C0 + s * (X - C0), X)
+        # The gauge transform applies to exactly the points the LM delta
+        # moved (observed ones): the renorm restores the window to its
+        # INPUT scale b0 every accepted step, so untouched points are
+        # already consistent — rescaling them too would shrink them by the
+        # step's drift factor while the window stays put (the round-2
+        # "rescale every valid point" change did precisely that; under
+        # active-point compaction the two paths also diverged because the
+        # compacted block only contains observed slots).
+        X_new = jnp.where(seen_pts[:, None], C0 + s * (X - C0), X)
         return t_new, X_new
 
     def lm_step(carry, _):

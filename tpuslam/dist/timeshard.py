@@ -140,7 +140,7 @@ def run_timesharded(
     poses = np.asarray(results.poses).reshape(D, L, 4, 4)
     pose_ok = np.asarray(results.pose_ok).reshape(D, L)
 
-    stitched = stitch_segments(poses, S, V, n)
+    stitched = stitch_segments(poses, S, V, n, pose_ok=pose_ok)
     core_ok = np.concatenate(
         [pose_ok[0, :S]] + [pose_ok[d, V : V + S] for d in range(1, D)]
     )[:n]
@@ -205,23 +205,42 @@ def apply_sim3(R: np.ndarray, t: np.ndarray, s: float, T: np.ndarray) -> np.ndar
     return out
 
 
-def stitch_segments(poses: np.ndarray, S: int, V: int, n_frames: int) -> np.ndarray:
+def stitch_segments(
+    poses: np.ndarray,
+    S: int,
+    V: int,
+    n_frames: int,
+    pose_ok: np.ndarray | None = None,
+) -> np.ndarray:
     """Fold per-shard trajectories (D, S+V, 4, 4) into one (n_frames, 4, 4).
 
     Each shard's V lead-in poses re-track the previous shard's last V core
     frames; the Sim(3) aligning those pairs maps the shard's local frame
     into the (already stitched) global frame, cumulatively.
+
+    ``pose_ok`` (D, S+V): a pair participates in the Sim(3) fit only when
+    BOTH sides tracked it — a dropout inside an overlap otherwise feeds
+    two poses with different failure histories into the unweighted fit and
+    misplaces every downstream segment.  Fewer than 2 usable pairs falls
+    back to all pairs (degraded, but defined).
     """
     D = poses.shape[0]
+    if pose_ok is None:
+        pose_ok = np.ones(poses.shape[:2], bool)
     out = np.asarray(poses[0], np.float64).copy()  # covers [0, S+V)
     out = out[:S] if D > 1 else out
     stitched = [out]
+    ok_tail = pose_ok[0, :S]  # ok flags of the stitched frames so far (tail)
     total = S
     for d in range(1, D):
         ref = np.concatenate(stitched)[total - V : total]
-        R, t, s = sim3_from_pose_pairs(poses[d, :V], ref)
+        pair_ok = pose_ok[d, :V] & ok_tail[-V:]
+        if pair_ok.sum() < 2:
+            pair_ok = np.ones(V, bool)
+        R, t, s = sim3_from_pose_pairs(poses[d, :V][pair_ok], ref[pair_ok])
         core = apply_sim3(R, t, s, poses[d, V : V + S])
         stitched.append(core)
+        ok_tail = pose_ok[d, V : V + S]
         total += S
     full = np.concatenate(stitched)
     return np.asarray(full[:n_frames], np.float32)

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from tpuslam.common.geometry import (
     normalize_points,
     nullvec_jacobi,
-    nullvec_minimal,
     orthonormalize_rotation,
     triangulate_homogeneous,
 )
@@ -68,7 +67,6 @@ def _solve_e_from_rows(
     weights: jax.Array | None = None,
     project: bool = True,
     sweeps: int = 5,
-    method: str = "jacobi",
 ) -> jax.Array:
     """Least-squares essential matrix from constraint rows.
 
@@ -82,10 +80,7 @@ def _solve_e_from_rows(
     """
     if weights is not None:
         rows = rows * weights[..., None]
-    if method == "minimal":
-        e = nullvec_minimal(rows)  # (..., 9) exact, m = n−1 rows only
-    else:
-        e = nullvec_jacobi(rows, sweeps=sweeps)  # (..., 9)
+    e = nullvec_jacobi(rows, sweeps=sweeps)  # (..., 9)
     E = e.reshape(*e.shape[:-1], 3, 3)
     if not project:
         return E

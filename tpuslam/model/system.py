@@ -554,6 +554,17 @@ class SlamSystem:
                 and self.loop_closure is not None
                 and db is not None
                 and self.enable_relocalization
+                # host gate: relocalizing nothing yields identity
+                # corrections, so skipping when no frame is lost is
+                # outcome-identical and saves the verification programs
+                # (the one-dispatch scan path stays branchless instead)
+                and bool(
+                    (
+                        ~np.asarray(result.pose_ok)
+                        & np.asarray(valid)
+                        & (fids_full > 0)
+                    ).any()
+                )
             ):
                 # identical key derivation to _sequence_impl (split-run ==
                 # single-run equality depends on it)
