@@ -103,8 +103,15 @@ class SlamSystem:
     # snap to an absolute pose anchored at the matched keyframe's stored
     # pose — the recovery path the reference's architecture implies but
     # never builds.  At most `reloc_budget` lost frames per chunk verify
-    # (loss is rare; the budget keeps the chunk program cheap).  PnP mode
-    # needs none of this: the persistent map is its tracking reference.
+    # (loss is rare; the budget keeps the chunk program cheap).
+    #
+    # PnP mode deliberately has no post-hoc relocalization: its tracker is
+    # already map-centric (landmark re-association self-recovers from
+    # short losses), and a chunk-level pose correction there would split
+    # the trajectory from the map's world frame — the map inserts happen
+    # INSIDE the tracking scan, so a correct fix means relocalizing inside
+    # that scan (≈2× per-frame tracking cost as a masked always-on stage),
+    # which is not worth it for the rare full-occlusion case.
     enable_relocalization: bool = True
     reloc_budget: int = 2
 
