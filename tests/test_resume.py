@@ -95,3 +95,46 @@ def test_slam_split_run_equals_single_run(tmp_path, data_dir):
 
 def test_slam_pnp_split_run_equals_single_run(tmp_path, data_dir):
     _slam_split_run(tmp_path, data_dir, "pnp")
+
+
+def test_slam_resume_through_relocalization_event(tmp_path, data_dir):
+    """A relocalization rescue (lost frames 4-5, BoW re-anchor at 6) must
+    survive a checkpoint split placed right at the rescue: the keyframe DB
+    (incl. stored absolute poses) and the corrected chain pose are all in
+    the checkpoint, so split == single bit-for-bit."""
+    import cv2
+
+    src = data_dir / "images"
+    corrupted = tmp_path / "images_corrupted"
+    corrupted.mkdir()
+    rng = np.random.default_rng(0)
+    for i, p in enumerate(sorted(src.glob("*.png"))):
+        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if i in (4, 5):
+            img = rng.integers(0, 256, img.shape, dtype=np.uint8)
+        cv2.imwrite(str(corrupted / p.name), img)
+    ts = src / "timestamps.txt"
+    if ts.exists():
+        (corrupted / "timestamps.txt").write_text(ts.read_text())
+
+    cfg = str(REPO_ROOT / "configs")
+    stream = str(corrupted)
+    full = tmp_path / "full.txt"
+    _run_cli("-c", cfg, "-v", stream, "-o", str(full), "--batch-size", "4",
+             "--slam")
+    ckpt = tmp_path / "ckpt.npz"
+    part1 = tmp_path / "part1.txt"
+    _run_cli("-c", cfg, "-v", stream, "-o", str(part1), "--batch-size", "4",
+             "--max-frames", "8", "--save-state", str(ckpt), "--slam")
+    part2 = tmp_path / "part2.txt"
+    _run_cli("-c", cfg, "-v", stream, "-o", str(part2), "--batch-size", "4",
+             "--resume", str(ckpt), "--slam")
+
+    T_full = np.loadtxt(full)
+    T_split = np.loadtxt(part2)
+    assert T_full.shape == T_split.shape == (10, 12)
+    np.testing.assert_allclose(T_split, T_full, rtol=0, atol=1e-6)
+    # the rescue actually happened: frame 6 is not a copy of frame 3's pose
+    # (the carried stale pose) but jumps forward in z
+    z = T_full[:, 11]
+    assert z[6] - z[3] > 1.5, z

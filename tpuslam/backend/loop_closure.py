@@ -246,7 +246,7 @@ class LoopClosure:
 
     def _verify_impl(
         self, descriptors, xy, kp_valid, cand_desc, cand_xy, cand_kp_valid,
-        cand_mp, cand_mp_valid, candidate_ok, K, key,
+        cand_mp, cand_mp_valid, candidate_ok, K, key, ratio_threshold=None,
     ):
         """Geometric verification (reference :153-236): re-match query
         descriptors against the candidate keyframe, then RANSAC DLT-PnP of
@@ -269,7 +269,11 @@ class LoopClosure:
             cand_kp_valid,
             xy,
             cand_xy,
-            ratio_threshold=mcfg.ratio_test_threshold,
+            ratio_threshold=(
+                mcfg.ratio_test_threshold
+                if ratio_threshold is None
+                else ratio_threshold
+            ),
             max_jump_radius=mcfg.max_jump_radius,
             use_ratio_test=mcfg.use_ratio_test,
             filter_matches=False,
@@ -387,15 +391,19 @@ class LoopClosure:
 
         cfg = self.config
         mcfg = self.matcher_config
+        # Wide-baseline re-matching needs the classic Lowe ratio, not the
+        # consecutive-frame setting (see RelocRatioThreshold in the config).
+        ratio = cfg.reloc_ratio_threshold
         key, key_pnp = jax.random.split(key)
         ok_pnp, T_pnp, ni_pnp = self._verify_impl(
             descriptors, xy, kp_valid, cand_desc, cand_xy, cand_kp_valid,
             cand_mp, cand_mp_valid, candidate_ok, K, key_pnp,
+            ratio_threshold=ratio,
         )
         cand_kp_valid = cand_kp_valid & candidate_ok
         match = match_descriptors(
             descriptors, cand_desc, kp_valid, cand_kp_valid, xy, cand_xy,
-            ratio_threshold=mcfg.ratio_test_threshold,
+            ratio_threshold=ratio,
             max_jump_radius=mcfg.max_jump_radius,
             use_ratio_test=mcfg.use_ratio_test,
             filter_matches=False,
@@ -505,9 +513,13 @@ class LoopClosure:
         )
         cands = self._gather_candidate(db, best)
 
-        tri = jnp.arange(B)
+        # Budget priority: highest BoW score first, NOT frame order — a
+        # blind span yields several needy frames whose garbage features
+        # still clear the absolute-score gate, and first-come selection
+        # lets them exhaust the budget before the first *recoverable*
+        # frame (a real revisit scores far higher, e.g. 0.8 vs noise).
         V = max(1, min(budget, B))
-        sel = jnp.argsort(jnp.where(cand_ok, tri, B + tri))[:V]
+        sel = jnp.argsort(jnp.where(cand_ok, -score, jnp.inf))[:V]
         ok_v, T_v, ni_v = jax.vmap(
             self._reloc_verify_impl, in_axes=(0,) * 9 + (None, 0)
         )(

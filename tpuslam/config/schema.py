@@ -176,6 +176,14 @@ class LoopClosureConfig:
     # temporally redundant for the pose graph) at a fraction of the cost.
     # 0 (default) verifies every frame — exact sequential semantics.
     verify_budget: int = 0
+    # Descriptor ratio test for RELOCALIZATION matching only: a lost frame
+    # re-matches a keyframe several baselines away, where the shipped
+    # consecutive-frame ratio (0.5) leaves too few matches to verify
+    # (measured: 17 matches on a 3-frame gap, below the 20-match floor);
+    # the classic Lowe 0.8 recovers the pool.  Loop verification keeps the
+    # matcher's ratio (the reference reuses the matcher there,
+    # loop_closure.cpp:156-158).
+    reloc_ratio_threshold: float = 0.8
     # TPU capacity fields.
     max_keyframes: int = 512
 
@@ -200,6 +208,8 @@ class LoopClosureConfig:
             raise ValueError("'RansacReprojectionThreshold' must be a positive value.")
         if self.verify_budget < 0:
             raise ValueError("'VerifyBudget' must be a non-negative integer.")
+        if not (0.0 < self.reloc_ratio_threshold <= 1.0):
+            raise ValueError("'RelocRatioThreshold' must be in (0, 1].")
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "LoopClosureConfig":
@@ -217,6 +227,7 @@ class LoopClosureConfig:
             ),
             second_best_grouped=bool(int(_get(doc, "SecondBestGrouped", 1))),
             verify_budget=int(_get(doc, "VerifyBudget", 0)),
+            reloc_ratio_threshold=float(_get(doc, "RelocRatioThreshold", 0.8)),
             max_keyframes=int(_get(doc, "MaxKeyframes", 512)),
         )
 
