@@ -226,7 +226,39 @@ def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
     return S * N_FRAMES / (time.perf_counter() - t0), S
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (with one explanatory JSON line) when the device hangs.
+
+    The remote axon tunnel can go down in a mode where ``jax.devices()``
+    blocks forever (observed for hours on 2026-08-17) — a hung benchmark
+    records nothing.  Probe in a SUBPROCESS with a generous timeout before
+    touching jax in this process; a healthy-but-slow tunnel passes (first
+    contact is ~seconds; compiles are slow, device discovery is not).
+    """
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s, check=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "vo_throughput_kitti",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": f"device backend unreachable: jax.devices() hung "
+                     f">{timeout_s:.0f}s (axon tunnel down?) — not a "
+                     f"regression, see BASELINE.md for last measured values",
+        }))
+        sys.exit(1)
+    except subprocess.CalledProcessError:
+        pass  # probe import errors: let the real run surface them
+
+
 def main() -> None:
+    _probe_device()
     frames_d = _staged(_load_frames(N_FRAMES))
     if "--slam" in sys.argv:
         fps = measure_slam(frames_d)
