@@ -225,14 +225,17 @@ def main(argv: list[str] | None = None) -> int:
         log.info("Trajectory plot written to %s", args.plot)
 
     if args.stats:
-        print(json.dumps({
+        stats = {
             "frames": n,
             "seconds": dt,
             "fps": n / dt,
             "pose_ok": int(result["pose_ok"].sum()),
             "mean_matches": float(result["num_matches"].mean()),
             "mean_inliers": float(result["num_inliers"].mean()),
-        }))
+        }
+        if "reloc_ok" in result:
+            stats["relocalizations"] = int(result["reloc_ok"].sum())
+        print(json.dumps(stats))
     return 0
 
 

@@ -227,7 +227,7 @@ class SlamSystem:
         result = result._replace(
             poses=M @ result.poses, pose_ok=result.pose_ok | r_ok
         )
-        return result, M[-1]
+        return result, M[-1], r_ok
 
     @staticmethod
     def _refreshed_pose(m, ran, fallback_pose):
@@ -284,8 +284,9 @@ class SlamSystem:
                 result, vo2 = self.pipeline._process_chunk(
                     frames, valid, vo, key1, with_features=True
                 )
+                reloc_ok = jnp.zeros(B, bool)
                 if lc is not None and self.enable_relocalization:
-                    result, M_last = self._reloc_chunk(
+                    result, M_last, reloc_ok = self._reloc_chunk(
                         db, result, valid, fids,
                         jax.random.fold_in(key2, 777),
                     )
@@ -306,6 +307,8 @@ class SlamSystem:
                 "num_inliers": result.num_inliers,
                 "kf_enabled": kf_enabled,
             }
+            if not pnp_mode:
+                out["reloc_ok"] = reloc_ok
             if lc is not None:
                 db, out["loop"] = self._lc_chunk(
                     db, fids, kf_enabled, result, key2, B
@@ -437,6 +440,11 @@ class SlamSystem:
             "num_matches": np.asarray(outs["num_matches"]).reshape(-1)[:n],
             "num_inliers": np.asarray(outs["num_inliers"]).reshape(-1)[:n],
             "pose_ok": pose_ok,
+            "reloc_ok": (
+                np.asarray(outs["reloc_ok"]).reshape(-1)[:n]
+                if "reloc_ok" in outs
+                else np.zeros(n, bool)
+            ),
         }
 
     def checkpoint_template(self) -> dict:
@@ -468,6 +476,7 @@ class SlamSystem:
             "stats_matches": z(0, np.int32),
             "stats_inliers": z(0, np.int32),
             "stats_pose_ok": z(0, bool),
+            "stats_reloc_ok": z(0, bool),
             "kf_fids": z(0, np.int32),
             "loops_frame": z(0, np.int32),
             "loops_matched": z(0, np.int32),
@@ -575,11 +584,13 @@ class SlamSystem:
             ):
                 # identical key derivation to _sequence_impl (split-run ==
                 # single-run equality depends on it)
-                result, M_last = self._reloc_chunk_jit(
+                result, M_last, reloc_ok = self._reloc_chunk_jit(
                     db, result, jnp.asarray(valid),
                     jnp.asarray(fids_full), jax.random.fold_in(sub_lc, 777),
                 )
                 state = state._replace(pose=M_last @ state.pose)
+            else:
+                reloc_ok = jnp.zeros(B, bool)
             if pnp_mode:
                 kf_mask = np.arange(B) < n  # every tracked frame
             else:
@@ -595,6 +606,7 @@ class SlamSystem:
                 "num_matches": result.num_matches,
                 "num_inliers": result.num_inliers,
                 "pose_ok": result.pose_ok,
+                "reloc_ok": reloc_ok,
                 "n": n,
                 "fids": fids_full,
                 "kf_mask": kf_mask,
@@ -687,13 +699,16 @@ class SlamSystem:
         loops: list[dict] = []
         ba_events: list[dict] = []
         ba_snapshots: list[dict] = []
-        stats = {"num_matches": [], "num_inliers": [], "pose_ok": []}
+        stats = {
+            "num_matches": [], "num_inliers": [], "pose_ok": [], "reloc_ok": []
+        }
         kf_fids: list[int] = []
         for rec in records:
             n, fids_full = rec["n"], rec["fids"]
             poses_np.append(np.array(rec["poses"][:n]))
             stats["num_matches"].append(np.asarray(rec["num_matches"])[:n])
             stats["num_inliers"].append(np.asarray(rec["num_inliers"])[:n])
+            stats["reloc_ok"].append(np.asarray(rec["reloc_ok"])[:n])
             pose_ok_np = np.asarray(rec["pose_ok"])
             stats["pose_ok"].append(pose_ok_np[:n])
             kf_enabled = rec["kf_mask"] & (pose_ok_np | (fids_full == 0))
@@ -731,6 +746,12 @@ class SlamSystem:
             stats["num_matches"].insert(0, np.asarray(resume["stats_matches"]))
             stats["num_inliers"].insert(0, np.asarray(resume["stats_inliers"]))
             stats["pose_ok"].insert(0, np.asarray(resume["stats_pose_ok"]))
+            stats["reloc_ok"].insert(
+                0,
+                np.asarray(resume["stats_reloc_ok"])
+                if "stats_reloc_ok" in resume
+                else np.zeros(len(np.asarray(resume["stats_pose_ok"])), bool),
+            )
             kf_fids = [int(f) for f in np.asarray(resume["kf_fids"])] + kf_fids
             prior_loops = [
                 {
@@ -808,6 +829,7 @@ class SlamSystem:
             "stats_matches": np.asarray(stats_np["num_matches"], np.int32),
             "stats_inliers": np.asarray(stats_np["num_inliers"], np.int32),
             "stats_pose_ok": np.asarray(stats_np["pose_ok"], bool),
+            "stats_reloc_ok": np.asarray(stats_np["reloc_ok"], bool),
             "kf_fids": np.asarray(kf_fids, np.int32),
             "loops_frame": np.asarray(
                 [lp["frame_id"] for lp in loops], np.int32
