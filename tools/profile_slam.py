@@ -41,10 +41,17 @@ def _timed_fps(system, chunks_d, chunk_valid, carry0, n_chunks) -> float:
 
     _, outs = system._sequence_jit(chunks_d, chunk_valid, carry0, keys_for(0))
     jax.block_until_ready(outs["poses"])  # compile + warm
-    t0 = time.perf_counter()
-    _, outs = system._sequence_jit(chunks_d, chunk_valid, carry0, keys_for(1))
-    jax.block_until_ready(outs["poses"])
-    return N_FRAMES / (time.perf_counter() - t0)
+    # Median of 3 fresh-keys dispatches: single-dispatch wall clocks through
+    # the remote tunnel vary ±30 ms/chunk, enough to flip a ladder row's sign.
+    times = []
+    for seed in (1, 2, 3):
+        t0 = time.perf_counter()
+        _, outs = system._sequence_jit(
+            chunks_d, chunk_valid, carry0, keys_for(seed)
+        )
+        jax.block_until_ready(outs["poses"])
+        times.append(time.perf_counter() - t0)
+    return N_FRAMES / sorted(times)[1]
 
 
 def main() -> None:
@@ -59,7 +66,11 @@ def main() -> None:
 
     stream = FrameStream(REPO_ROOT / "tests" / "data" / "images")
     base = [stream.read_frame(i)[0] for i in range(stream.total_frames)]
-    frames = np.stack([base[i % len(base)] for i in range(N_FRAMES)])
+    # Ping-pong tiling — continuous camera path, matching bench.py (the
+    # old `i % 10` wrap teleported every cycle and fired relocalization).
+    period = 2 * (len(base) - 1)
+    idx = [min(i % period, period - i % period) for i in range(N_FRAMES)]
+    frames = np.stack([base[i] for i in idx])
     frames_d = jax.device_put(frames)
     jax.block_until_ready(frames_d)
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])

@@ -204,30 +204,52 @@ class SlamSystem:
         """
         B = result.poses.shape[0]
         need = valid & ~result.pose_ok & (fids > 0)
-        r_ok, T_reloc, _, _ = self.loop_closure._relocalize_impl(
-            db, need, result.desc, result.kps_xy, result.kps_valid,
-            self._K, jax.random.split(key, B), budget=self.reloc_budget,
-        )
         eyeB = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
-        R = result.poses[:, :3, :3]
-        t = result.poses[:, :3, 3]
-        Rt = jnp.swapaxes(R, -1, -2)
-        P_inv = (
-            eyeB.at[:, :3, :3].set(Rt)
-            .at[:, :3, 3].set(-jnp.einsum("bij,bj->bi", Rt, t))
+
+        def do_reloc(_):
+            r_ok, T_reloc, _, _ = self.loop_closure._relocalize_impl(
+                db, need, result.desc, result.kps_xy, result.kps_valid,
+                self._K, jax.random.split(key, B), budget=self.reloc_budget,
+            )
+            R = result.poses[:, :3, :3]
+            t = result.poses[:, :3, 3]
+            Rt = jnp.swapaxes(R, -1, -2)
+            P_inv = (
+                eyeB.at[:, :3, :3].set(Rt)
+                .at[:, :3, 3].set(-jnp.einsum("bij,bj->bi", Rt, t))
+            )
+            Msnap = T_reloc @ P_inv
+            tri = jnp.arange(B)
+            last = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(r_ok, tri, -1)
+            )
+            M = jnp.where(
+                (last >= 0)[:, None, None], Msnap[jnp.clip(last, 0)], eyeB
+            )
+            return M @ result.poses, result.pose_ok | r_ok, M[-1], r_ok
+
+        def skip(_):
+            return (
+                result.poses, result.pose_ok,
+                jnp.eye(4, dtype=jnp.float32), jnp.zeros(B, bool),
+            )
+
+        # Lost frames are rare: in steady state every chunk tracks, so the
+        # expensive part (BoW transform + budget× two-view verification)
+        # must not be paid unconditionally.  A real XLA conditional makes
+        # relocalization free until a frame actually loses tracking
+        # (measured: the branchless version cost ~84 ms/chunk — SLAM mode
+        # 307→117 FPS — for a stage that fires on 0% of healthy chunks).
+        # Only small arrays (poses, flags) cross the conditional boundary:
+        # `_ba_cond` documents a severe cost for conds inside the sequence
+        # scan when large carried state flows through them, so the big
+        # ChunkResult buffers stay outside.  Under vmap (multiseq mode)
+        # the cond lowers to a select and both branches run — correct,
+        # just not faster; the single-sequence scan is what needs it.
+        poses, pose_ok, M_last, r_ok = jax.lax.cond(
+            jnp.any(need), do_reloc, skip, None
         )
-        Msnap = T_reloc @ P_inv
-        tri = jnp.arange(B)
-        last = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(r_ok, tri, -1)
-        )
-        M = jnp.where(
-            (last >= 0)[:, None, None], Msnap[jnp.clip(last, 0)], eyeB
-        )
-        result = result._replace(
-            poses=M @ result.poses, pose_ok=result.pose_ok | r_ok
-        )
-        return result, M[-1], r_ok
+        return result._replace(poses=poses, pose_ok=pose_ok), M_last, r_ok
 
     @staticmethod
     def _refreshed_pose(m, ran, fallback_pose):
