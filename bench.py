@@ -63,6 +63,24 @@ def _staged(frames: np.ndarray):
     return frames_d
 
 
+def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3)) -> float:
+    """Median of several fresh-keys timed dispatches.
+
+    A single dispatch through the remote tunnel varies by ±10-30% run to
+    run (enough that round 2's official capture read 493 FPS against
+    builder runs of 517 on the same protocol); the median of three is
+    stable.  Each dispatch uses a DIFFERENT PRNG seed so the axon client's
+    result cache can never serve a repeat (BASELINE.md "measurement
+    warning") — the program shape is identical, only key values differ.
+    """
+    times = []
+    for seed in seeds:
+        t0 = time.perf_counter()
+        dispatch(seed)
+        times.append(time.perf_counter() - t0)
+    return n_frames / sorted(times)[len(times) // 2]
+
+
 def measure_vo(frames_d, config_dir: str = "configs") -> float:
     """One-dispatch VO over the staged sequence (the headline protocol)."""
     import jax
@@ -78,20 +96,18 @@ def measure_vo(frames_d, config_dir: str = "configs") -> float:
     state = pipeline.initial_state()
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
     chunk_valid = jax.numpy.ones((chunks_d.shape[0], BATCH), bool)
-    # The timed dispatch uses DIFFERENT PRNG keys than the warm-up: the
-    # axon client can serve a repeat of an identical (executable, buffers)
-    # pair from a result cache, which reports transfer latency as compute
-    # (BASELINE.md "measurement warning").  Fresh keys force a real run at
-    # identical program shape.
-    warm_keys = jax.random.split(jax.random.PRNGKey(0), chunks_d.shape[0])
-    timed_keys = jax.random.split(jax.random.PRNGKey(1), chunks_d.shape[0])
-    r, s = pipeline._sequence_fn(chunks_d, chunk_valid, state, warm_keys)
-    jax.block_until_ready((r, s))  # compile + warm
+    # Fresh PRNG keys per dispatch (warm-up included): the axon client can
+    # serve a repeat of an identical (executable, buffers) pair from a
+    # result cache, which reports transfer latency as compute (BASELINE.md
+    # "measurement warning").  Fresh keys force a real run at identical
+    # program shape.
+    def dispatch(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), chunks_d.shape[0])
+        r, s = pipeline._sequence_fn(chunks_d, chunk_valid, state, keys)
+        jax.block_until_ready((r, s))
 
-    t0 = time.perf_counter()
-    results, st = pipeline._sequence_fn(chunks_d, chunk_valid, state, timed_keys)
-    jax.block_until_ready((results, st))
-    return N_FRAMES / (time.perf_counter() - t0)
+    dispatch(0)  # compile + warm
+    return _median_fps(dispatch, N_FRAMES)
 
 
 def measure_pnp(frames_d) -> float:
@@ -109,16 +125,14 @@ def measure_pnp(frames_d) -> float:
     state = pipeline.initial_pnp_state()
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
     chunk_valid = jax.numpy.ones((chunks_d.shape[0], BATCH), bool)
-    # Fresh keys on the timed dispatch (see measure_vo).
-    warm_keys = jax.random.split(jax.random.PRNGKey(0), chunks_d.shape[0])
-    timed_keys = jax.random.split(jax.random.PRNGKey(1), chunks_d.shape[0])
-    r, s = pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, warm_keys)
-    jax.block_until_ready((r, s))
+    # Fresh keys per dispatch, median of 3 (see measure_vo / _median_fps).
+    def dispatch(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), chunks_d.shape[0])
+        r, s = pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, keys)
+        jax.block_until_ready((r, s))
 
-    t0 = time.perf_counter()
-    results, st = pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, timed_keys)
-    jax.block_until_ready((results, st))
-    return N_FRAMES / (time.perf_counter() - t0)
+    dispatch(0)  # compile + warm
+    return _median_fps(dispatch, N_FRAMES)
 
 
 def measure_slam(frames_d) -> float:
@@ -164,13 +178,14 @@ def measure_slam(frames_d) -> float:
             lambda c: jax.random.fold_in(jax.random.PRNGKey(seed), c)
         )(jnp.arange(n_chunks, dtype=jnp.int32))
 
-    _, outs = system._sequence_jit(chunks_d, chunk_valid, carry0, keys_for(0))
-    jax.block_until_ready(outs["poses"])  # compile + warm
+    def dispatch(seed):
+        _, outs = system._sequence_jit(
+            chunks_d, chunk_valid, carry0, keys_for(seed)
+        )
+        jax.block_until_ready(outs["poses"])
 
-    t0 = time.perf_counter()
-    _, outs = system._sequence_jit(chunks_d, chunk_valid, carry0, keys_for(1))
-    jax.block_until_ready(outs["poses"])
-    return N_FRAMES / (time.perf_counter() - t0)
+    dispatch(0)  # compile + warm
+    return _median_fps(dispatch, N_FRAMES)
 
 
 def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
@@ -227,13 +242,12 @@ def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
         jax.vmap(system._sequence_impl),
         in_shardings=(sh, sh, jax.tree.map(lambda _: sh, carry0), sh),
     )
-    _, outs = step(chunks_d, chunk_valid, carry_s, keys_for(0))
-    jax.block_until_ready(outs["poses"])  # compile + warm
+    def dispatch(seed):
+        _, outs = step(chunks_d, chunk_valid, carry_s, keys_for(seed))
+        jax.block_until_ready(outs["poses"])
 
-    t0 = time.perf_counter()
-    _, outs = step(chunks_d, chunk_valid, carry_s, keys_for(1))
-    jax.block_until_ready(outs["poses"])
-    return S * N_FRAMES / (time.perf_counter() - t0), S
+    dispatch(0)  # compile + warm
+    return _median_fps(dispatch, S * N_FRAMES), S
 
 
 def _probe_device(timeout_s: float = 180.0) -> None:
