@@ -114,7 +114,10 @@ def reprojection_errors(
 
 @partial(
     jax.jit,
-    static_argnames=("num_hypotheses", "sample_size", "min_inliers", "solver_sweeps"),
+    static_argnames=(
+        "num_hypotheses", "sample_size", "min_inliers", "solver_sweeps",
+        "hyp_sweeps", "lo_rounds",
+    ),
 )
 def ransac_pnp(
     points3d: jax.Array,
@@ -128,11 +131,21 @@ def ransac_pnp(
     reproj_threshold: float = 2.0,
     min_inliers: int = 5,
     solver_sweeps: int = 8,
+    hyp_sweeps: int | None = None,
+    lo_rounds: int = 2,
 ) -> PnPResult:
     """Batched-RANSAC DLT PnP over (M,) correspondences.
 
     ``points3d``: (M, 3) world points; ``points2d``: (M, 2) pixels;
     ``valid``: (M,) bool; ``K``: (3, 3).
+
+    ``hyp_sweeps`` (default ``solver_sweeps``) bounds the Jacobi sweeps of
+    the *hypothesis* solves only: hypotheses just seed the consensus vote
+    and the LO refit polishes the winner, so they tolerate a much shorter
+    solve (the same split the essential-matrix RANSAC uses).  Each Jacobi
+    sweep is a sequential chain of 11 rotation rounds — on the per-frame
+    tracking path (``model/tracking.py``) the solver chain is the dominant
+    latency, so ``hyp_sweeps``/``lo_rounds`` are the knobs that matter.
     """
     M = points3d.shape[0]
     dtype = jnp.promote_types(points3d.dtype, jnp.float32)
@@ -151,7 +164,8 @@ def ransac_pnp(
     _, sample_idx = jax.lax.top_k(g, sample_size)  # (H, S)
 
     R_h, t_h = solve_pnp_dlt(
-        X[sample_idx], xn[sample_idx], sweeps=solver_sweeps
+        X[sample_idx], xn[sample_idx],
+        sweeps=solver_sweeps if hyp_sweeps is None else hyp_sweeps,
     )  # (H, 3, 3), (H, 3)
 
     err, z = reprojection_errors(Kf, R_h, t_h, X, uv)  # (H, M)
@@ -163,7 +177,7 @@ def ransac_pnp(
     R_best, t_best = R_h[best_h], t_h[best_h]
     inliers = inlier_mat[best_h]
     best_count = counts[best_h]
-    for _ in range(2):
+    for _ in range(lo_rounds):
         w = inliers.astype(dtype)
         R_ref, t_ref = solve_pnp_dlt(X, xn, weights=w, sweeps=solver_sweeps)
         err_r, z_r = reprojection_errors(Kf, R_ref, t_ref, X, uv)

@@ -126,7 +126,16 @@ def pnp_track_chunk(
             key,
             num_hypotheses=pnp_hypotheses,
             min_inliers=pnp_min_inliers,
-            solver_sweeps=5,
+            solver_sweeps=8,
+            # 3-sweep hypotheses + ONE deep (8-sweep) LO refit: cuts the
+            # sequential Jacobi chain per frame from 165 rotation rounds
+            # (5-sweep hypotheses + two 5-sweep refits) to 121, while the
+            # final solve is better-converged than before (8 > 5 sweeps;
+            # two shallow refits under-converged the rotation scene).
+            # This scan is the serial spine of PnP tracking — the solver
+            # chain, not FLOPs, bounds its throughput.
+            hyp_sweeps=3,
+            lo_rounds=1,
         )
         T_pnp = _pose_from_rt(pnp.R, pnp.t)
 
@@ -168,8 +177,11 @@ def pnp_track_chunk(
         T_cur = jnp.where(pnp_ok, T_pnp, jnp.where(vok & fv, T_fb, T_prev))
 
         # --- metric scale actually applied to this pair ----------------------
-        T_rel_fin = jnp.linalg.solve(T_prev, T_cur)
-        s_used = jnp.linalg.norm(T_rel_fin[:3, 3])
+        # ‖(T_prev⁻¹T_cur)[:3,3]‖ = ‖R_prevᵀ(C_cur−C_prev)‖ = ‖C_cur−C_prev‖:
+        # the camera-center distance, no 4×4 LU solve needed (linalg.solve
+        # on a tiny matrix is a disproportionately long dependent chain
+        # inside this per-frame scan).
+        s_used = jnp.linalg.norm(T_cur[:3, 3] - T_prev[:3, 3])
         X_world = (
             jnp.einsum(
                 "ij,mj->mi", T_cur[:3, :3], Xc_u * s_used, precision="highest"
