@@ -103,6 +103,46 @@ def test_reprojection_errors_cheirality():
     assert (np.asarray(z) > 0).all()
 
 
+def test_gn_refine_beats_dlt_refit_on_noise():
+    """The GN LO refit must recover the pose at least as well as the DLT
+    refit on noisy inliers (it minimises the true pixel error; the DLT
+    minimises an algebraic proxy)."""
+    X, uv, R, t = synthetic_pnp(n=80, outlier_frac=0.3, noise_px=1.0,
+                                rng=np.random.default_rng(11))
+    kw = dict(reproj_threshold=3.0, hyp_sweeps=3, lo_rounds=1)
+    res_dlt = ransac_pnp(
+        jnp.asarray(X), jnp.asarray(uv), jnp.ones(80, bool), jnp.asarray(K),
+        jax.random.PRNGKey(3), refine="dlt", **kw,
+    )
+    res_gn = ransac_pnp(
+        jnp.asarray(X), jnp.asarray(uv), jnp.ones(80, bool), jnp.asarray(K),
+        jax.random.PRNGKey(3), refine="gn", **kw,
+    )
+    assert bool(res_gn.success)
+    ang_gn = rot_angle_deg(np.asarray(res_gn.R), R)
+    ang_dlt = rot_angle_deg(np.asarray(res_dlt.R), R)
+    assert ang_gn <= ang_dlt + 0.05
+    assert ang_gn < 0.5
+    np.testing.assert_allclose(np.asarray(res_gn.t), t, atol=0.05)
+    # GN pose is a proper rotation
+    Rg = np.asarray(res_gn.R)
+    np.testing.assert_allclose(Rg @ Rg.T, np.eye(3), atol=1e-5)
+
+
+def test_gn_refine_exact_noop():
+    """At a perfect initial pose with exact correspondences, GN must stay."""
+    from tpuslam.backend.pnp import refine_pnp_gn
+
+    X, uv, R, t = synthetic_pnp(n=40, rng=np.random.default_rng(12))
+    Rr, tr = refine_pnp_gn(
+        jnp.asarray(K, jnp.float32), jnp.asarray(R, jnp.float32),
+        jnp.asarray(t, jnp.float32), jnp.asarray(X), jnp.asarray(uv),
+        jnp.ones(40, jnp.float32), iters=3,
+    )
+    assert rot_angle_deg(np.asarray(Rr), R) < 0.02
+    np.testing.assert_allclose(np.asarray(tr), t, atol=2e-3)
+
+
 def test_ransac_pnp_vmappable():
     Xs, uvs = [], []
     for i in range(3):

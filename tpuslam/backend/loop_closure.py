@@ -307,6 +307,14 @@ class LoopClosure:
             sample_size=6,
             reproj_threshold=cfg.ransac_reprojection_threshold,
             min_inliers=cfg.min_inliers_for_pnp,
+            # Shallow hypothesis solves + Gauss-Newton LO: the verification
+            # PnP's latency is its sequential Jacobi chain (the parallel
+            # width is tiny), so the same short-chain split as the tracking
+            # PnP applies — 3-sweep hypotheses seed the vote, GN polishes
+            # the winner on the true pixel residual.
+            hyp_sweeps=3,
+            lo_rounds=2,
+            refine="gn",
         )
         ok = candidate_ok & enough_matches & pnp.success
         T = jnp.eye(4, dtype=jnp.float32)

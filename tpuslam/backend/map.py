@@ -41,7 +41,14 @@ def scatter_rows_dense(
     # First valid occurrence wins on duplicate slots; with the mask the
     # selection matrix is one-hot per row, so the "gather" is an MXU matmul
     # (a row gather costs ~0.3 µs/row on TPU — slower than the matmul).
-    sel_first = sel & (jnp.cumsum(sel, axis=1) == 1)
+    # First-occurrence via argmax (one reduction pass) — a row cumsum over
+    # the full (out_rows, M) table costs 5× more at out_rows=4096
+    # (measured 0.163 vs 0.034 ms; ~0.26 ms/frame saved on the two
+    # add_observations calls in the map scan).
+    first = jnp.argmax(sel, axis=1)  # (out_rows,) — 0 when the row is empty
+    sel_first = (
+        jnp.arange(sel.shape[1], dtype=jnp.int32)[None, :] == first[:, None]
+    ) & written[:, None]
     v2 = values[:, None] if values.ndim == 1 else values
     if jnp.issubdtype(values.dtype, jnp.integer):
         # Integer payloads (slots, birth counters) must stay exact for any

@@ -127,15 +127,16 @@ def pnp_track_chunk(
             num_hypotheses=pnp_hypotheses,
             min_inliers=pnp_min_inliers,
             solver_sweeps=8,
-            # 3-sweep hypotheses + ONE deep (8-sweep) LO refit: cuts the
-            # sequential Jacobi chain per frame from 165 rotation rounds
-            # (5-sweep hypotheses + two 5-sweep refits) to 121, while the
-            # final solve is better-converged than before (8 > 5 sweeps;
-            # two shallow refits under-converged the rotation scene).
-            # This scan is the serial spine of PnP tracking — the solver
-            # chain, not FLOPs, bounds its throughput.
+            # 3-sweep hypotheses + ONE Gauss-Newton LO refit: this scan is
+            # the serial spine of PnP tracking — the solver chain, not
+            # FLOPs, bounds its throughput.  GN replaces the deep 8-sweep
+            # Jacobi refit (88 sequential rotation rounds) with 3 short
+            # iterations (residual/Jacobian — parallel over points — plus
+            # one 6×6 solve each), and minimises the true pixel error
+            # rather than the DLT's algebraic residual.
             hyp_sweeps=3,
             lo_rounds=1,
+            refine="gn",
         )
         T_pnp = _pose_from_rt(pnp.R, pnp.t)
 
