@@ -312,7 +312,7 @@ class LoopClosure:
             # width is tiny), so the same short-chain split as the tracking
             # PnP applies — 3-sweep hypotheses seed the vote, GN polishes
             # the winner on the true pixel residual.
-            hyp_sweeps=3,
+            hyp_sweeps=6,
             lo_rounds=2,
             refine="gn",
         )

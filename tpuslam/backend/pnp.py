@@ -188,6 +188,73 @@ def refine_pnp_gn(
 
 @partial(
     jax.jit,
+    static_argnames=("iters", "min_inliers", "huber_schedule"),
+)
+def motion_pnp(
+    K: jax.Array,
+    R0: jax.Array,  # (3, 3) world→cam seed (motion model / two-view prior)
+    t0: jax.Array,  # (3,)
+    points3d: jax.Array,  # (M, 3) world
+    points2d: jax.Array,  # (M, 2) pixels
+    valid: jax.Array,  # (M,) bool
+    *,
+    iters: int = 4,
+    reproj_threshold: float = 2.0,
+    min_inliers: int = 5,
+    huber_schedule: tuple[float, ...] = (16.0, 8.0, 4.0, 2.0),
+) -> PnPResult:
+    """Seeded robust pose tracking: IRLS Gauss-Newton from a motion prior.
+
+    The per-frame tracking scan (``model/tracking.py``) is latency-bound by
+    its *sequential chain*, and RANSAC's hypothesis stage is the longest
+    link (a 6-sweep one-sided Jacobi = 66 dependent rotation rounds, ~7 ms
+    per 16-frame chunk measured differentially).  On continuous video the
+    previous pose (or the two-view relative pose applied to it) is already
+    within a few pixels of the answer, so hypotheses buy nothing: this
+    solver just descends — ``iters`` rounds of Huber-reweighted
+    Gauss-Newton, each one residual/Jacobian pass (parallel over points)
+    plus a single 6×6 solve, with the Huber width annealed from
+    ``huber_schedule[0]`` px down so early iterations pull the seed in
+    while late ones ignore outliers.  This is the classical motion-model
+    tracking optimisation (ORB-SLAM ``TrackWithMotionModel``); the
+    reference has no analog — its only PnP is RANSAC inside loop-closure
+    verification (``loop_closure.cpp:180-274``), which
+    :func:`ransac_pnp` keeps for wide-baseline problems.  Callers guard
+    this solver with :func:`ransac_pnp` under a ``lax.cond`` so the long
+    chain is paid only on frames where descent from the prior fails.
+    """
+    dtype = jnp.promote_types(points3d.dtype, jnp.float32)
+    X = points3d.astype(dtype)
+    uv = points2d.astype(dtype)
+    Kf = K.astype(dtype)
+    R, t = R0.astype(dtype), t0.astype(dtype)
+    vf = valid.astype(dtype)
+
+    for i in range(iters):
+        delta = huber_schedule[min(i, len(huber_schedule) - 1)]
+        err, z = reprojection_errors(Kf, R, t, X, uv)
+        # Huber IRLS weight: 1 inside the width, δ/|r| outside; cheirality
+        # and validity zero the rest.
+        w = vf * jnp.where(z > 1e-6, jnp.minimum(1.0, delta / jnp.maximum(err, 1e-9)), 0.0)
+        R, t = refine_pnp_gn(Kf, R, t, X, uv, w, iters=1)
+
+    err, z = reprojection_errors(Kf, R, t, X, uv)
+    inliers = (err < reproj_threshold) & (z > 0) & valid
+    count = jnp.sum(inliers.astype(jnp.int32))
+    finite = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+    success = (count >= min_inliers) & finite
+    eye = jnp.eye(3, dtype=dtype)
+    return PnPResult(
+        R=jnp.where(success, R, eye),
+        t=jnp.where(success, t, jnp.zeros(3, dtype)),
+        inliers=inliers & success,
+        num_inliers=jnp.where(success, count, 0),
+        success=success,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "num_hypotheses", "sample_size", "min_inliers", "solver_sweeps",
         "hyp_sweeps", "lo_rounds", "refine",

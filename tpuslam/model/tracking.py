@@ -39,7 +39,7 @@ from tpuslam.backend.map import (
     insert_points,
     scatter_rows_dense,
 )
-from tpuslam.backend.pnp import ransac_pnp
+from tpuslam.backend.pnp import motion_pnp, ransac_pnp
 
 
 class TrackChunkResult(NamedTuple):
@@ -117,30 +117,7 @@ def pnp_track_chunk(
         )
         X_map = m.points[jnp.maximum(cand_slot, 0)]  # (M, 3) world
 
-        # --- absolute pose: RANSAC PnP over re-observed landmarks -----------
-        pnp = ransac_pnp(
-            X_map,
-            uv_cur,
-            alive,
-            K,
-            key,
-            num_hypotheses=pnp_hypotheses,
-            min_inliers=pnp_min_inliers,
-            solver_sweeps=8,
-            # 3-sweep hypotheses + ONE Gauss-Newton LO refit: this scan is
-            # the serial spine of PnP tracking — the solver chain, not
-            # FLOPs, bounds its throughput.  GN replaces the deep 8-sweep
-            # Jacobi refit (88 sequential rotation rounds) with 3 short
-            # iterations (residual/Jacobian — parallel over points — plus
-            # one 6×6 solve each), and minimises the true pixel error
-            # rather than the DLT's algebraic residual.
-            hyp_sweeps=3,
-            lo_rounds=1,
-            refine="gn",
-        )
-        T_pnp = _pose_from_rt(pnp.R, pnp.t)
-
-        # --- fallback: two-view pose at map-anchored scale -------------------
+        # --- fallback / seed: two-view pose at map-anchored scale ------------
         # Baseline scale from depths: the same landmarks seen by the previous
         # camera have metric depth z_map_prev = (R_prev X + t_prev)_z and
         # unit-pair depth z_prev_unit; their ratio is the metric baseline.
@@ -154,6 +131,21 @@ def pnp_track_chunk(
         T_rel_fb = _pose_from_rt(Rr, tr * s_fb)  # T_prev_cur
         T_fb = T_prev @ T_rel_fb
 
+        # --- absolute pose against the map -----------------------------------
+        # Healthy path: seeded Huber-IRLS Gauss-Newton from the two-view
+        # pose (motion_pnp) — no hypothesis stage, so the scan's sequential
+        # spine loses RANSAC's 66-round Jacobi chain (measured 7.1 ms of a
+        # 34.9 ms chunk).  RANSAC PnP survives under a ``lax.cond`` for
+        # frames where descent from the prior fails its gates AND the map
+        # coverage says an absolute solve could win — only poses and the
+        # (M,)-sized correspondence arrays cross the branch boundary.
+        T_seed = jnp.where(vok & fv, T_fb, T_prev)
+        R_cw_s = jnp.swapaxes(T_seed[:3, :3], 0, 1)
+        gn = motion_pnp(
+            K, R_cw_s, -R_cw_s @ T_seed[:3, 3], X_map, uv_cur, alive,
+            iters=4, min_inliers=pnp_min_inliers,
+        )
+
         # A PnP solve that explains only a small fraction of the live
         # associations is a mis-solve on noisy landmarks, not a pose: the
         # absolute inlier floor alone let 18-of-76-inlier "successes"
@@ -161,9 +153,12 @@ def pnp_track_chunk(
         # profile tracking on the variable-speed scene).  Require the
         # inliers to cover a minimum fraction of what PnP was given.
         n_alive = jnp.sum(alive.astype(jnp.int32))
-        frac_ok = pnp.num_inliers.astype(jnp.float32) >= (
-            pnp_min_inlier_frac * n_alive.astype(jnp.float32)
-        )
+
+        def frac_gate(n_inl):
+            return n_inl.astype(jnp.float32) >= (
+                pnp_min_inlier_frac * n_alive.astype(jnp.float32)
+            )
+
         # Map-coverage gate: when the live landmarks explain only a small
         # fraction of the frame's matches, absolute PnP is fitting a thin,
         # noisy subset while the fallback pools a robust median over the
@@ -174,7 +169,23 @@ def pnp_track_chunk(
         cov_ok = n_alive.astype(jnp.float32) >= (
             pnp_min_coverage * jnp.maximum(n_match, 1).astype(jnp.float32)
         )
-        pnp_ok = pnp.success & frac_ok & cov_ok & fv
+        gn_ok = gn.success & frac_gate(gn.num_inliers) & cov_ok & fv
+
+        def _use_gn(_key):
+            return gn.R, gn.t, gn.num_inliers, gn.success
+
+        def _use_ransac(rk):
+            p = ransac_pnp(
+                X_map, uv_cur, alive, K, rk,
+                num_hypotheses=pnp_hypotheses, min_inliers=pnp_min_inliers,
+                solver_sweeps=8, hyp_sweeps=6, lo_rounds=1, refine="gn",
+            )
+            return p.R, p.t, p.num_inliers, p.success
+
+        need_ransac = fv & cov_ok & ~gn_ok
+        R_p, t_p, n_inl, succ = jax.lax.cond(need_ransac, _use_ransac, _use_gn, key)
+        T_pnp = _pose_from_rt(R_p, t_p)
+        pnp_ok = succ & frac_gate(n_inl) & cov_ok & fv
         T_cur = jnp.where(pnp_ok, T_pnp, jnp.where(vok & fv, T_fb, T_prev))
 
         # --- metric scale actually applied to this pair ----------------------
@@ -239,7 +250,7 @@ def pnp_track_chunk(
             prev_kf_slot=jnp.where(enabled, kf_slot, jnp.asarray(-1, jnp.int32)),
             prev_xy=xy,
         )
-        out = (T_cur, pnp_ok, pnp.num_inliers, s_used,
+        out = (T_cur, pnp_ok, n_inl, s_used,
                jnp.sum(alive.astype(jnp.int32)))
         return (m5, a2, T_cur), out
 
