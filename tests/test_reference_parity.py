@@ -59,3 +59,32 @@ def test_ate_parity_with_reference_numerics(oracle_poses, pipeline_poses):
     assert rmse < 0.05 * path_len, (
         f"ATE RMSE {rmse:.4f} vs 5% of oracle path length {path_len:.2f}"
     )
+
+
+@pytest.fixture(scope="module")
+def pnp_pipeline_poses(data_dir):
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.model.slam import SlamPipeline
+    from tpuslam.pre.stream import FrameStream
+
+    camera = Camera.from_yaml(CONFIGS / "camera.yml")
+    config = SlamConfig.from_yaml_dir(CONFIGS, batch_size=5)
+    pipeline = SlamPipeline(camera, config, tracking="pnp")
+    stream = FrameStream(data_dir / "images")
+    return pipeline.run_pnp(stream.batches(5))["poses"]
+
+
+def test_ate_parity_pnp_mode(oracle_poses, pnp_pipeline_poses):
+    """Map-centric PnP tracking (motion-GN healthy path, model/tracking.py)
+    must hold the same 5%-of-path-length parity bar as VO mode — the
+    absolute tracker is allowed to *differ* from the reference's chained
+    two-view numerics (it is strictly more machinery than the reference
+    ever ran), but not to drift from the same fixture trajectory."""
+    assert pnp_pipeline_poses.shape == oracle_poses.shape
+    rmse = ate_rmse(pnp_pipeline_poses, oracle_poses, align_scale=True)
+    steps = np.diff(oracle_poses[:, :3, 3], axis=0)
+    path_len = float(np.linalg.norm(steps, axis=1).sum())
+    assert rmse < 0.05 * path_len, (
+        f"PnP-mode ATE RMSE {rmse:.4f} vs 5% of oracle path length {path_len:.2f}"
+    )

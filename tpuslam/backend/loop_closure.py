@@ -741,18 +741,40 @@ class LoopClosure:
         kpv_en = kp_valid & enabled[:, None]
         V = self.config.verify_budget
         if 0 < V < B:
-            sel = jnp.argsort(jnp.where(cand_oks, tri, B + tri))[:V]
-            verified_v, T_v, ni_v = jax.vmap(
-                self._verify_impl, in_axes=(0,) * 9 + (None, 0)
-            )(
-                descriptors[sel], xy[sel], kpv_en[sel],
-                *(c[sel] for c in cands), cand_oks[sel], K, keys[sel],
+            # Chunks with no BoW candidate at all (the common case on
+            # forward motion — measured 4 of 6 chunks even on the loopy
+            # bench clip) skip the whole verification block under one
+            # chunk-level ``lax.cond``: the budget-compacted re-match +
+            # RANSAC-PnP measured ~3.0 ms/chunk marginally, the largest
+            # single LC line.  This is the chunk-level analog of the
+            # relocalization gating — only the (B,K,·) frame arrays cross
+            # the branch boundary, not per-frame conds inside a scan (the
+            # ``_ba_cond`` pathology).
+            def _do_verify(_):
+                sel = jnp.argsort(jnp.where(cand_oks, tri, B + tri))[:V]
+                verified_v, T_v, ni_v = jax.vmap(
+                    self._verify_impl, in_axes=(0,) * 9 + (None, 0)
+                )(
+                    descriptors[sel], xy[sel], kpv_en[sel],
+                    *(c[sel] for c in cands), cand_oks[sel], K, keys[sel],
+                )
+                verified = jnp.zeros(B, bool).at[sel].set(verified_v)
+                T = jnp.broadcast_to(
+                    jnp.eye(4, dtype=jnp.float32), (B, 4, 4)
+                ).at[sel].set(T_v)
+                num_inliers = jnp.zeros(B, jnp.int32).at[sel].set(ni_v)
+                return verified, T, num_inliers
+
+            def _skip_verify(_):
+                return (
+                    jnp.zeros(B, bool),
+                    jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4)),
+                    jnp.zeros(B, jnp.int32),
+                )
+
+            verified, T, num_inliers = jax.lax.cond(
+                jnp.any(cand_oks), _do_verify, _skip_verify, None
             )
-            verified = jnp.zeros(B, bool).at[sel].set(verified_v)
-            T = jnp.broadcast_to(
-                jnp.eye(4, dtype=jnp.float32), (B, 4, 4)
-            ).at[sel].set(T_v)
-            num_inliers = jnp.zeros(B, jnp.int32).at[sel].set(ni_v)
         else:
             verified, T, num_inliers = jax.vmap(
                 self._verify_impl, in_axes=(0,) * 9 + (None, 0)
