@@ -305,6 +305,18 @@ def main() -> None:
             "vs_baseline": round(fps / 500.0, 4),
         }))
         return
+    if "--fast" in sys.argv:
+        # Halved RANSAC hypothesis budget (configs/fast): the high-inlier
+        # continuous-video profile; fixture ATE parity identical to the
+        # default (see configs/fast/pose_estimator.yml for the envelope).
+        fps = measure_vo(frames_d, config_dir="configs/fast")
+        print(json.dumps({
+            "metric": "vo_fast_throughput_kitti",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 500.0, 4),
+        }))
+        return
     if "--multiseq" in sys.argv:
         fps, n_seq = measure_multiseq(_load_frames(N_FRAMES))
         print(json.dumps({

@@ -106,3 +106,18 @@ def test_slam_config_from_dir():
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         load_opencv_yaml(CONFIGS / "does_not_exist.yml")
+
+
+def test_shipped_profiles_load():
+    """The shipped config profiles must stay loadable and carry their
+    defining keys: multiscale (4-level ORB pyramid) and fast (halved
+    RANSAC hypothesis budget for high-inlier video)."""
+    ms = SlamConfig.from_yaml_dir(CONFIGS / "multiscale")
+    assert ms.detector.num_levels == 4
+    assert abs(ms.detector.scale_factor - 1.2) < 1e-9
+    fast = SlamConfig.from_yaml_dir(CONFIGS / "fast")
+    assert fast.pose.num_hypotheses == 512
+    # everything not overridden matches the default profile
+    base = SlamConfig.from_yaml_dir(CONFIGS)
+    assert fast.detector == base.detector
+    assert fast.matcher == base.matcher
