@@ -94,3 +94,79 @@ def test_initialize_multihost_single_process_fallback():
     assert initialize_multihost() is False
     mesh = make_device_mesh(4)
     assert mesh.devices.shape == (4,)
+
+
+def _tiny_pnp_system(B=2):
+    import __graft_entry__ as g
+    from pathlib import Path
+
+    from tpuslam.config.schema import DetectorConfig, PoseConfig, SlamConfig
+    from tpuslam.model.system import SlamSystem
+
+    cfg = SlamConfig(
+        detector=DetectorConfig(max_keypoints=64),
+        pose=PoseConfig(num_hypotheses=64),
+        batch_size=B,
+    )
+    return SlamSystem(
+        g._tiny_camera(),
+        cfg,
+        vocabulary=Path(__file__).resolve().parent.parent
+        / "configs"
+        / "vocabulary.npz",
+        tracking="pnp",
+        ba_window=4,
+        ba_interval=2,
+        ba_iterations=2,
+        max_map_points=256,
+    )
+
+
+def test_shard_sequence_program_matches_unbatched():
+    """shard_map full-SLAM sequence program == per-sequence unbatched runs.
+
+    The multiseq formulation (bench --multiseq) runs one sequence per core
+    via shard_map so the chunk program's lax.conds stay real branches; it
+    must be numerically identical to running each sequence through the
+    plain (unbatched) `_sequence_impl`.
+    """
+    from tpuslam.dist.mesh import make_device_mesh, shard_sequence_program
+
+    system = _tiny_pnp_system()
+    S, C, B = 8, 2, 2
+    h, w = system.camera.height, system.camera.width
+    rng = np.random.default_rng(3)
+    chunks = jnp.asarray(rng.integers(0, 256, (S, C, B, h, w)), jnp.uint8)
+    cvalid = jnp.ones((S, C, B), bool)
+    db = system.loop_closure.new_db(
+        system.config.detector.max_keypoints,
+        system.config.detector.descriptor_bytes,
+    )
+    carry0 = (
+        system.pipeline.initial_pnp_state(),
+        db,
+        jnp.asarray(0, jnp.int32),
+    )
+    carry_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (S, *a.shape)), carry0)
+    keys = jax.vmap(lambda k: jax.random.split(k, C))(
+        jax.random.split(jax.random.PRNGKey(7), S)
+    )
+
+    mesh = make_device_mesh(S)
+    step = shard_sequence_program(system._sequence_impl, mesh)
+    carry_out, outs = step(chunks, cvalid, carry_s, keys)
+
+    # sharded over the mesh
+    assert len(outs["poses"].sharding.device_set) == S
+    assert outs["poses"].shape == (S, C, B, 4, 4)
+
+    for s in range(0, S, 3):  # spot-check sequences 0, 3, 6
+        _, ref = system._sequence_jit(
+            chunks[s], cvalid[s], carry0, keys[s]
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["poses"][s]), np.asarray(ref["poses"]), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs["pose_ok"][s]), np.asarray(ref["pose_ok"])
+        )

@@ -102,3 +102,50 @@ def shard_batched_pipeline(pipeline, mesh: Mesh, axis_name: str = "seq"):
     return shard_vmapped_step(
         pipeline._process_chunk, mesh, pipeline.initial_state(), axis_name
     )
+
+
+def shard_sequence_program(sequence_impl, mesh: Mesh, axis_name: str = "seq"):
+    """One FULL SLAM sequence program per device via ``shard_map``.
+
+    ``sequence_impl(chunks (C,B,H,W), valid (C,B), carry, keys (C,2))`` —
+    e.g. ``SlamSystem._sequence_impl`` — becomes ``step(chunks (S,C,B,H,W),
+    valid (S,C,B), carries (S-stacked), keys (S,C,2)) → (carries, outs)``
+    with S = mesh size, every argument/result sharded on its leading
+    sequence axis.
+
+    Why not ``vmap`` + sharding constraints (the previous formulation):
+    ``vmap`` lowers every ``lax.cond`` inside the chunk program to a
+    both-branches select, so the rare-path stages — loop-closure geometric
+    verification on no-candidate chunks, PnP tracking's RANSAC fallback
+    when motion-model descent fails, relocalization on healthy chunks —
+    get paid unconditionally on every chunk of every sequence (measured:
+    multiseq S=1 ran at 219 FPS against 413 for the identical program
+    unbatched).  Under ``shard_map`` each sequence stays a *rank-preserved
+    scalar program* on its own core, and TPU cores execute data-dependent
+    control flow independently, so the conds remain real branches; the
+    mesh axis is pure SPMD with no collectives (per-sequence SLAM state is
+    fully local, exactly as the vmap layout had it).
+    """
+    spec = P(axis_name)
+
+    def body(chunks, valid, carry, keys):
+        # Per-shard leading axis is S / mesh-size = 1: peel it, run the
+        # unbatched sequence program (real conds), restore it.
+        carry1 = jax.tree.map(lambda a: a[0], carry)
+        carry2, outs = sequence_impl(chunks[0], valid[0], carry1, keys[0])
+        lead = lambda a: a[None]  # noqa: E731
+        return jax.tree.map(lead, carry2), jax.tree.map(lead, outs)
+
+    # check_vma=False: the body is embarrassingly parallel (no collectives),
+    # and the varying-axes checker false-positives on loop carries whose
+    # init is mesh-invariant (e.g. the identity-matrix V0 of the Jacobi
+    # eigensolver) while the data operand varies.
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec),
+            check_vma=False,
+        )
+    )
