@@ -63,6 +63,38 @@ def _huber_weight(r_norm: jax.Array, delta: float) -> jax.Array:
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
 
 
+def _inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form inverse of (..., 3, 3) matrices (adjugate / determinant).
+
+    Elementwise arithmetic only — XLA fuses the whole thing, unlike
+    ``jnp.linalg.inv`` whose batched LU factorisation is a long sequential
+    chain on TPU.  Callers guarantee invertibility (LM-damped blocks).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _cost(R, t, points, obs_uv, obs_mask, K, huber: float) -> jax.Array:
     res = jax.vmap(
         jax.vmap(_project_residual, in_axes=(None, None, 0, 0, None)),
@@ -224,19 +256,30 @@ def bundle_adjust(
         rn = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(mask, _huber_weight(rn, huber), 0.0)  # (W, P)
 
-        U = jnp.einsum("wpri,wp,wprj->wij", A, w, A, precision="highest")  # (W, 6, 6)
-        V = jnp.einsum("wpri,wp,wprj->pij", B, w, B, precision="highest")  # (P, 3, 3)
-        Wb = jnp.einsum("wpri,wp,wprj->wpij", A, w, B, precision="highest")  # (W, P, 6, 3)
-        ga = -jnp.einsum("wpri,wp,wpr->wi", A, w, r, precision="highest")  # (W, 6)
-        gb = -jnp.einsum("wpri,wp,wpr->pi", B, w, r, precision="highest")  # (P, 3)
+        # One combined Jacobian block J = [A | B] (W, P, 2, 9) turns the five
+        # separate Hessian/gradient einsums into TWO contractions plus free
+        # (fused) slices and sums — the LM loop is op-count-bound on TPU
+        # (every extra dot is a separate ~40 µs kernel × LM iterations), not
+        # FLOP-bound at these shapes.
+        J = jnp.concatenate([A, B], axis=-1)  # (W, P, 2, 9)
+        Jw = J * w[..., None, None]
+        H9 = jnp.einsum("wpri,wprj->wpij", Jw, J, precision="highest")  # (W,P,9,9)
+        g9 = -jnp.einsum("wpri,wpr->wpi", Jw, r, precision="highest")  # (W, P, 9)
+        U = jnp.sum(H9[..., :6, :6], axis=1)  # (W, 6, 6)
+        V = jnp.sum(H9[..., 6:, 6:], axis=0)  # (P, 3, 3)
+        Wb = H9[..., :6, 6:]  # (W, P, 6, 3)
+        ga = jnp.sum(g9[..., :6], axis=1)  # (W, 6)
+        gb = jnp.sum(g9[..., 6:], axis=0)  # (P, 3)
 
         eye6 = jnp.eye(6, dtype=jnp.float32)
         eye3 = jnp.eye(3, dtype=jnp.float32)
         U_d = U + lam * eye6[None]
-        V_d = V + lam * eye3[None]
-        V_inv = jnp.linalg.inv(
-            V_d + 1e-8 * eye3[None]
-        )  # (P, 3, 3); inactive points have V=λI → harmless
+        V_d = V + lam * eye3[None] + 1e-8 * eye3[None]
+        # Closed-form adjugate inverse of the symmetric 3×3 blocks: pure
+        # elementwise arithmetic XLA fuses into one kernel, where
+        # ``jnp.linalg.inv`` lowers to a batched LU (serial-ish on TPU).
+        # Inactive points have V = λI → harmless.
+        V_inv = _inv3x3(V_d)  # (P, 3, 3)
 
         # Schur complement over poses: S (W, 6, W, 6)
         WVinv = jnp.einsum("wpij,pjk->wpik", Wb, V_inv, precision="highest")  # (W, P, 6, 3)
