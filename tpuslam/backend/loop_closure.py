@@ -701,19 +701,24 @@ class LoopClosure:
             pick(db.mp_valid, mp_valid),
         )
 
-        # --- batched ring insert: one contiguous-window blit -----------------
+        # --- batched ring insert: one B-row gather/scatter --------------------
         n_en = jnp.sum(en_i32)
         w0 = db.count % C
         order = jnp.argsort(jnp.where(enabled, tri, B + tri))  # enabled first
         written = tri < n_en  # block rows actually inserted
+        ins_idx = (w0 + tri) % C  # ring rows 16-frame window lands on
 
         def blit(target, block):
-            rolled = jnp.roll(target, -w0, axis=0)
+            # Touch ONLY the B candidate rows: gather their current values,
+            # overwrite the first n_en with the enabled block, scatter back.
+            # The previous roll→concat→roll formulation rewrote the FULL DB
+            # (~28 MB across the eight buffers) three times per chunk to
+            # insert ≤16 rows; a 16-row scatter is fine on TPU (the ~serial
+            # scatter pathology is per-index — 16 indices, not 1024) and
+            # XLA aliases the scan carry so the update is in place.
             w = written.reshape((B,) + (1,) * (target.ndim - 1))
-            head = jnp.where(w, block, rolled[:B])
-            return jnp.roll(
-                jnp.concatenate([head, rolled[B:]], axis=0), w0, axis=0
-            )
+            head = jnp.where(w, block, target[ins_idx])
+            return target.at[ins_idx].set(head)
 
         if poses is None:
             poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))

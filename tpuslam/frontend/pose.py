@@ -312,7 +312,20 @@ def estimate_relative_pose(
 
     # --- recover [R|t] by cheirality vote ------------------------------------
     Rs, ts = _candidate_poses(E_best)
-    votes = cheirality_votes(Rs, ts, x1, x2, valid)
+    # Vote on a 256-point INLIER subsample.  The reference triangulates
+    # every match for all 4 candidates (``simple_pose_recover.cpp:67-82``);
+    # the z-sign majority between the true candidate and its mirrors is
+    # enormous (wrong candidates put ~all points behind a camera), so 256
+    # inliers decide it identically while cutting the 4×M batched-Jacobi
+    # triangulation ~4× — and voting on RANSAC inliers rather than raw
+    # matches removes the outlier dilution the reference's vote tolerates.
+    vote_n = min(256, x1.shape[0])
+    if vote_n < x1.shape[0]:
+        _, vote_idx = jax.lax.top_k(inliers.astype(jnp.int32), vote_n)
+        xv1, xv2, vmask = x1[vote_idx], x2[vote_idx], inliers[vote_idx]
+    else:
+        xv1, xv2, vmask = x1, x2, inliers
+    votes = cheirality_votes(Rs, ts, xv1, xv2, vmask)
     best_c = jnp.argmax(votes)
     R = Rs[best_c]
     t = ts[best_c]

@@ -79,7 +79,7 @@ class SlamSystem:
     keyframe_interval: int = 1
     ba_window: int = 8
     ba_interval: int = 4
-    ba_iterations: int = 8
+    ba_iterations: int = 5
     # Compaction capacity for BA's LM loop (tpuslam.backend.ba): the
     # number of *observed* map points gathered into the dense Hessian
     # block.  A full 8-keyframe fixture window shows ~300 observed points;
@@ -87,11 +87,17 @@ class SlamSystem:
     # salted timing) with ~1.7× headroom.  Overflow degrades gracefully —
     # lowest-priority points stay valid but unoptimised.
     ba_active_points: int = 512
-    # Adaptive LM termination (see backend.ba.bundle_adjust): stop early
-    # once an accepted step improves the cost by <0.1% relative.  The
-    # fixtures plateau at 4-5 of the 8 budgeted iterations; 0 restores the
-    # fixed-length loop.
-    ba_rtol: float = 1e-3
+    # Adaptive LM termination (see backend.ba.bundle_adjust): >0 stops
+    # early once an accepted step improves the cost by <rtol relative.
+    # Default 0: a `lax.while_loop` INSIDE the sequence scan costs more
+    # than the iterations it saves (measured 2026-08-19: 33.8 ms/chunk
+    # adaptive-8 vs 31.5 static-5 vs 30.7 static-4 — the same in-scan
+    # control-flow pathology `_ba_cond` documents for `lax.cond`), so the
+    # shipped default is a fixed 5-step `lax.scan`, where the fixtures'
+    # cost has plateaued.  rtol>0 remains for host-driven BA calls
+    # (checkpointed refinement, tools) where the loop is NOT inside a
+    # sequence scan and early exit is real wall-clock.
+    ba_rtol: float = 0.0
     # 4096 slots cover the 8-keyframe window with ~3× headroom (each frame
     # contributes ~150 gated points); BA cost scales linearly in capacity.
     max_map_points: int = 4096
