@@ -20,6 +20,7 @@ so the full-system modes are captured on the official scoreboard too.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -355,6 +356,7 @@ def main() -> None:
         }))
         return
 
+    t_start = time.monotonic()
     vo_fps = measure_vo(frames_d)
     record = {
         "metric": "vo_throughput_kitti",
@@ -365,17 +367,30 @@ def main() -> None:
     if "--vo-only" not in sys.argv:
         # Full-system modes on the same scoreboard line (the judge's ask:
         # driver-captured numbers for SLAM mode, not builder-only figures).
-        try:
-            record["slam_fps"] = round(measure_slam(frames_d), 2)
-            record["pnp_fps"] = round(measure_pnp(frames_d), 2)
+        # Each aux program recompiles (~30-60s on this one-core host), so a
+        # soft deadline guards the headline: if the environment is degraded
+        # (host contention, slow tunnel), skip what's left rather than let
+        # an external timeout kill the run with NOTHING printed.
+        aux = (
+            ("slam_fps", lambda: measure_slam(frames_d)),
+            ("pnp_fps", lambda: measure_pnp(frames_d)),
             # Map-centric composition: PnP tracking + LC + BA sharing one
             # map (the reference's declared Backend/Map architecture).
-            record["slam_pnp_fps"] = round(
-                measure_slam(frames_d, tracking="pnp"), 2
-            )
+            ("slam_pnp_fps", lambda: measure_slam(frames_d, tracking="pnp")),
+        )
+        budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
+        try:
+            for key, fn in aux:
+                if time.monotonic() - t_start > budget_s:
+                    record["aux_skipped"] = (
+                        f"{key}+: time budget {budget_s:.0f}s exceeded "
+                        "(degraded host?) — see BASELINE.md for last values"
+                    )
+                    break
+                record[key] = round(fn(), 2)
         except Exception as e:  # pragma: no cover — never lose the headline
             record["aux_error"] = repr(e)[:200]
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
