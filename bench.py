@@ -12,9 +12,21 @@ the system under test).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 headline VO number, plus "slam_fps" (full system: tracking + landmark map +
-loop closure + windowed BA) and "pnp_fps" (map-centric PnP tracking mode)
-so the full-system modes are captured on the official scoreboard too.
+loop closure + windowed BA), "pnp_fps" (map-centric PnP tracking mode) and
+"slam_pnp_fps" (PnP tracking + LC + BA over one shared map) so the
+full-system modes are captured on the official scoreboard too.
 ``--slam`` / ``--pnp`` run just that mode and print its line alone.
+
+Process architecture: the combined (no-flag) run is an ORCHESTRATOR that
+never imports jax.  The axon remote-TPU backend is single-client — a
+second process touching the device while another holds it blocks
+indefinitely (measured: a child ``jax.devices()`` hangs >120 s while the
+parent holds a live buffer) — and the tunnel has transient multi-minute
+degradation windows (round 3's combined run lost every aux mode to one).
+So each mode runs as its own sequential subprocess with a per-mode
+timeout and one retry, and the merged record line is re-printed after
+every mode completes: the last JSON line on stdout is always the most
+complete scoreboard, no matter when the run is killed.
 """
 
 from __future__ import annotations
@@ -299,7 +311,17 @@ def _probe_device(timeout_s: float = 180.0) -> None:
 
 
 def main() -> None:
-    _probe_device()
+    single_mode = any(f in sys.argv for f in (
+        "--slam", "--pnp", "--pyramid", "--fast", "--multiseq", "--vo-only"
+    ))
+    if not single_mode:
+        # Combined scoreboard run: orchestrate subprocesses, never import
+        # jax in this process (single-client axon device — see module doc).
+        _probe_device()
+        orchestrate()
+        return
+    if not os.environ.get("BENCH_CHILD"):
+        _probe_device()
     frames_d = _staged(_load_frames(N_FRAMES))
     if "--slam" in sys.argv:
         tracking = "pnp" if "--pnp" in sys.argv else "vo"
@@ -356,41 +378,104 @@ def main() -> None:
         }))
         return
 
-    t_start = time.monotonic()
     vo_fps = measure_vo(frames_d)
-    record = {
+    print(json.dumps({
         "metric": "vo_throughput_kitti",
         "value": round(vo_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vo_fps / 500.0, 4),
-    }
-    if "--vo-only" not in sys.argv:
-        # Full-system modes on the same scoreboard line (the judge's ask:
-        # driver-captured numbers for SLAM mode, not builder-only figures).
-        # Each aux program recompiles (~30-60s on this one-core host), so a
-        # soft deadline guards the headline: if the environment is degraded
-        # (host contention, slow tunnel), skip what's left rather than let
-        # an external timeout kill the run with NOTHING printed.
-        aux = (
-            ("slam_fps", lambda: measure_slam(frames_d)),
-            ("pnp_fps", lambda: measure_pnp(frames_d)),
-            # Map-centric composition: PnP tracking + LC + BA sharing one
-            # map (the reference's declared Backend/Map architecture).
-            ("slam_pnp_fps", lambda: measure_slam(frames_d, tracking="pnp")),
+    }), flush=True)
+
+
+def _env_float(name: str, default: float) -> float:
+    """Defensive env parse: a malformed value must not kill the run."""
+    try:
+        return float(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _run_mode(args: list[str], timeout_s: float) -> dict | None:
+    """Run one bench mode as a subprocess; parse its JSON line.
+
+    Subprocess isolation is load-bearing, not hygiene: the single-client
+    axon device means any in-process hang (tunnel degradation mid-
+    dispatch) is unrecoverable, while a killed subprocess releases the
+    device for the next mode (verified: the device answers normally
+    after a SIGKILLed child).
+    """
+    import subprocess
+
+    cmd = [sys.executable, str(REPO_ROOT / "bench.py"), *args]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ, "BENCH_CHILD": "1"},
         )
-        budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed((proc.stdout or "").strip().splitlines()):
         try:
-            for key, fn in aux:
-                if time.monotonic() - t_start > budget_s:
-                    record["aux_skipped"] = (
-                        f"{key}+: time budget {budget_s:.0f}s exceeded "
-                        "(degraded host?) — see BASELINE.md for last values"
-                    )
-                    break
-                record[key] = round(fn(), 2)
-        except Exception as e:  # pragma: no cover — never lose the headline
-            record["aux_error"] = repr(e)[:200]
-    print(json.dumps(record), flush=True)
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "value" in rec:
+            return rec
+    return None
+
+
+def orchestrate() -> None:
+    """Combined scoreboard run: every mode in its own timed subprocess.
+
+    The merged record is (re-)printed after each mode, so the LAST JSON
+    line on stdout is always the most complete scoreboard even if the
+    driver kills this process mid-run.  Per-mode timeout default 420 s
+    (cold-cache compiles of the full-SLAM program take minutes through
+    the tunnel; warm-cache modes finish in ~30-60 s), one retry per mode
+    while total budget remains — a transient degradation window (the
+    failure that voided round 3's aux block) passes between attempts.
+    """
+    budget_s = _env_float("BENCH_BUDGET_S", 1800.0)
+    per_mode_s = _env_float("BENCH_MODE_BUDGET_S", 420.0)
+    t0 = time.monotonic()
+    record: dict = {
+        "metric": "vo_throughput_kitti",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+    }
+    modes = (
+        (None, ["--vo-only"]),
+        ("slam_fps", ["--slam"]),
+        ("pnp_fps", ["--pnp"]),
+        # Map-centric composition: PnP tracking + LC + BA sharing one
+        # map (the reference's declared Backend/Map architecture).
+        ("slam_pnp_fps", ["--slam", "--pnp"]),
+    )
+    skipped = []
+    for key, args in modes:
+        rec = None
+        for attempt in (1, 2):
+            remaining = budget_s - (time.monotonic() - t0)
+            if remaining < 30:
+                break
+            print(f"[bench] {key or 'vo'} attempt {attempt} "
+                  f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
+            rec = _run_mode(args, min(per_mode_s, remaining))
+            if rec is not None:
+                break
+        if rec is None:
+            skipped.append(key or "vo")
+        elif key is None:
+            record.update(rec)
+        else:
+            record[key] = rec["value"]
+        if skipped:
+            record["aux_skipped"] = (
+                f"{'+'.join(skipped)}: mode timed out or budget exhausted "
+                "(degraded tunnel?) — see BASELINE.md for last values"
+            )
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -931,14 +931,22 @@ class SlamSystem:
         out = optimize_pose_graph(g, iterations=12)
         kf_opt = np.asarray(out.nodes[: len(kf_fids)], np.float64)
 
-        corrected = all_poses.copy()
+        # Vectorized fold (the per-frame Python loop this replaces was
+        # O(frames) host matmuls per trajectory — real cost at KITTI
+        # scale): each frame inherits the rigid correction of the last
+        # keyframe at-or-before it, applied as one batched einsum.
         kf_arr = np.asarray(kf_fids)
-        for n, fid in enumerate(kf_fids):
-            end = kf_fids[n + 1] if n + 1 < len(kf_fids) else len(all_poses)
-            corr = kf_opt[n] @ np.linalg.inv(all_poses[fid])
-            for f in range(fid, end):
-                corrected[f] = corr @ all_poses[f]
-        # frames before the first keyframe keep their original poses
+        corrs = np.einsum(
+            "nij,njk->nik", kf_opt,
+            np.linalg.inv(np.asarray(all_poses, np.float64)[kf_arr]),
+        )
+        seg = np.searchsorted(kf_arr, np.arange(len(all_poses)), side="right") - 1
+        covered = seg >= 0  # frames before the first keyframe keep their poses
+        corrected = all_poses.copy()
+        corrected[covered] = np.einsum(
+            "fij,fjk->fik", corrs[seg[covered]],
+            np.asarray(all_poses, np.float64)[covered],
+        ).astype(all_poses.dtype)
         return corrected
 
     @staticmethod
