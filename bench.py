@@ -76,15 +76,18 @@ def _staged(frames: np.ndarray):
     return frames_d
 
 
-def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3)) -> float:
+def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3, 4, 5)) -> float:
     """Median of several fresh-keys timed dispatches.
 
     A single dispatch through the remote tunnel varies by ±10-30% run to
     run (enough that round 2's official capture read 493 FPS against
-    builder runs of 517 on the same protocol); the median of three is
-    stable.  Each dispatch uses a DIFFERENT PRNG seed so the axon client's
-    result cache can never serve a repeat (BASELINE.md "measurement
-    warning") — the program shape is identical, only key values differ.
+    builder runs of 517 on the same protocol); the median of five is
+    stable to a few percent (three still drew ±25 FPS between combined
+    runs — each extra dispatch costs ~0.2 s, so five is cheap insurance
+    for a scoreboard number).  Each dispatch uses a DIFFERENT PRNG seed so
+    the axon client's result cache can never serve a repeat (BASELINE.md
+    "measurement warning") — the program shape is identical, only key
+    values differ.
     """
     times = []
     for seed in seeds:

@@ -9,7 +9,8 @@ configurations, each disabling one stage; consecutive differences are the
 marginal cost of that stage *inside the fused program* (which is what
 matters — standalone stage timings miss fusion effects).
 
-Usage (real TPU): ``python tools/profile_slam.py``
+Usage (real TPU): ``python tools/profile_slam.py [--pnp]``
+(``--pnp`` ladders the map-centric PnP-SLAM composition instead.)
 """
 
 from __future__ import annotations
@@ -80,22 +81,31 @@ def main() -> None:
     camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
     config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
 
+    pnp = "--pnp" in sys.argv
     # Ladder: each row disables ONE more stage than the previous; the FPS
     # delta between consecutive rows is that stage's marginal cost.
-    ladder = [
-        ("full system", {}),
-        ("- relocalization", {"enable_relocalization": False}),
-        ("- loop closure", {"enable_relocalization": False,
-                            "enable_loop_closure": False}),
-        ("- BA", {"enable_relocalization": False,
-                  "enable_loop_closure": False, "enable_ba": False}),
-    ]
+    if pnp:
+        ladder = [
+            ("full pnp-slam", {}),
+            ("- loop closure", {"enable_loop_closure": False}),
+            ("- BA", {"enable_loop_closure": False, "enable_ba": False}),
+        ]
+    else:
+        ladder = [
+            ("full system", {}),
+            ("- relocalization", {"enable_relocalization": False}),
+            ("- loop closure", {"enable_relocalization": False,
+                                "enable_loop_closure": False}),
+            ("- BA", {"enable_relocalization": False,
+                      "enable_loop_closure": False, "enable_ba": False}),
+        ]
     prev_ms = None
     for name, kw in ladder:
         system = SlamSystem(
             camera, config,
             vocabulary=(REPO_ROOT / "configs" / "vocabulary.npz"
                         if kw.get("enable_loop_closure", True) else None),
+            tracking="pnp" if pnp else "vo",
             **kw,
         )
         db = (
@@ -105,13 +115,20 @@ def main() -> None:
             if system.loop_closure is not None
             else jnp.zeros(())
         )
-        carry0 = (
-            system.pipeline.initial_state(),
-            empty_map(system.ba_window, system.max_map_points),
-            empty_assoc(config.detector.max_keypoints),
-            db,
-            jnp.asarray(0, jnp.int32),
-        )
+        if pnp:
+            carry0 = (
+                system.pipeline.initial_pnp_state(),
+                db,
+                jnp.asarray(0, jnp.int32),
+            )
+        else:
+            carry0 = (
+                system.pipeline.initial_state(),
+                empty_map(system.ba_window, system.max_map_points),
+                empty_assoc(config.detector.max_keypoints),
+                db,
+                jnp.asarray(0, jnp.int32),
+            )
         fps = _timed_fps(system, chunks_d, chunk_valid, carry0, n_chunks)
         ms_per_chunk = 1000.0 * BATCH / fps
         delta = "" if prev_ms is None else (

@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("dirs", nargs="+", help="image directories")
     parser.add_argument("-o", "--output", required=True)
     parser.add_argument("--words", type=int, default=256)
+    parser.add_argument("--tree", default=None, metavar="K1,K2",
+                        help="train a two-level fbow-style tree vocabulary "
+                             "(e.g. 64,64 -> 4096 leaves) instead of a flat "
+                             "--words one; assignment cost is O(K1+K2) per "
+                             "descriptor regardless of leaf count")
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--max-keypoints", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
@@ -87,9 +92,17 @@ def main(argv: list[str] | None = None) -> int:
                 n_desc += int(mask.sum())
             print(f"{p.name}: {n_desc} descriptors")
     total = sum(len(c) for c in corpus)
-    print(f"training on {total} descriptors from {len(corpus)} images → {args.words} words")
+    branching = None
+    if args.tree:
+        k1, k2 = (int(x) for x in args.tree.split(","))
+        branching = (k1, k2)
+        print(f"training on {total} descriptors from {len(corpus)} images "
+              f"→ {k1}×{k2} tree ({k1 * k2} leaves)")
+    else:
+        print(f"training on {total} descriptors from {len(corpus)} images "
+              f"→ {args.words} words")
     vocab = Vocabulary.fit(corpus, num_words=args.words, iters=args.iters,
-                           seed=args.seed)
+                           seed=args.seed, branching=branching)
     vocab.save(args.output)
     print(f"saved to {args.output}")
     return 0

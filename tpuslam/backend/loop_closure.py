@@ -706,7 +706,45 @@ class LoopClosure:
         w0 = db.count % C
         order = jnp.argsort(jnp.where(enabled, tri, B + tri))  # enabled first
         written = tri < n_en  # block rows actually inserted
-        ins_idx = (w0 + tri) % C  # ring rows 16-frame window lands on
+
+        if cfg.eviction_policy == "redundancy":
+            # Victim selection on overflow (see LoopClosureConfig.
+            # eviction_policy): evict the rows whose content the rest of
+            # the DB best duplicates.  FIFO would recycle the EARLIEST
+            # keyframes — exactly the ones long-sequence loops close
+            # against (the reference's DB is unbounded, loop_closure.cpp:
+            # 96-109, so it never faces the choice).  Redundancy = max BoW
+            # similarity to any other occupied row: one (C, C) self-
+            # similarity matmul + top-k, run under a real cond so chunks
+            # before overflow pay nothing.  Greedy-per-chunk approximation:
+            # the B victims come from one similarity snapshot (a row and
+            # its twin can both be evicted in the same chunk); self-similar
+            # filler dominates the victim list long before that matters.
+            def _fifo_idx(_):
+                return (w0 + tri) % C
+
+            def _evict_idx(_):
+                R = jnp.matmul(db.bow, db.bow.T, precision="highest")
+                pair_ok = (
+                    occupied[:, None]
+                    & occupied[None, :]
+                    & ~jnp.eye(C, dtype=bool)
+                )
+                red = jnp.max(jnp.where(pair_ok, R, -jnp.inf), axis=1)
+                red = jnp.where(jnp.isfinite(red), red, 0.0)
+                protect = occupied & (
+                    db.ids > db.last_id - cfg.eviction_protect_recent
+                )
+                score = jnp.where(occupied, red, jnp.inf)  # empties first
+                score = jnp.where(protect, -jnp.inf, score)
+                _, idx = jax.lax.top_k(score, B)
+                return idx.astype(jnp.int32)
+
+            ins_idx = jax.lax.cond(
+                db.count + n_en > C, _evict_idx, _fifo_idx, None
+            )
+        else:  # fifo: contiguous ring window
+            ins_idx = (w0 + tri) % C
 
         def blit(target, block):
             # Touch ONLY the B candidate rows: gather their current values,

@@ -20,20 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
-def scatter_rows_dense(
-    values: jax.Array,  # (M, D) or (M,) source values
+def row_select(
     slots: jax.Array,  # (M,) int32 target rows (may repeat; OOB = dropped)
     valid: jax.Array,  # (M,) bool
     out_rows: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Dense scatter: returns (new_rows (out_rows, D), written (out_rows,)).
+    """One-hot writer-selection table for a dense scatter.
 
-    XLA lowers ``x.at[idx].set`` to a scatter op that executes close to
-    serially on TPU (measured ~2 ms per 1024-index scatter — the round-2
-    SLAM-mode bottleneck, hidden from stage microbenchmarks by
-    loop-invariant hoisting).  This reformulation is pure vector work: a
-    (out_rows, M) equality table, an argmax per row to pick a writer
-    (first valid occurrence wins on duplicates), and a row gather.
+    Returns ``(sel_first (out_rows, M) one-hot bool, written (out_rows,))``.
+    Factored out of :func:`scatter_rows_dense` so callers scattering
+    SEVERAL payloads along the same ``(slots, valid)`` build the equality
+    table / argmax once (the table build dominates the payload apply —
+    sharing it across the two association-propagation scatters in the
+    per-frame tracking scan measured ~0.9 ms/chunk).
     """
     eff = jnp.where(valid, slots, -1)
     sel = eff[None, :] == jnp.arange(out_rows, dtype=slots.dtype)[:, None]
@@ -49,6 +48,15 @@ def scatter_rows_dense(
     sel_first = (
         jnp.arange(sel.shape[1], dtype=jnp.int32)[None, :] == first[:, None]
     ) & written[:, None]
+    return sel_first, written
+
+
+def apply_row_select(
+    sel_first: jax.Array,  # (out_rows, M) one-hot bool from row_select
+    written: jax.Array,  # (out_rows,) bool from row_select
+    values: jax.Array,  # (M, D) or (M,) payload
+) -> jax.Array:
+    """Gather one payload through a precomputed writer-selection table."""
     v2 = values[:, None] if values.ndim == 1 else values
     if jnp.issubdtype(values.dtype, jnp.integer):
         # Integer payloads (slots, birth counters) must stay exact for any
@@ -70,7 +78,28 @@ def scatter_rows_dense(
     new_rows = new_rows.astype(v2.dtype)
     if values.ndim == 1:
         new_rows = new_rows[:, 0]
-    return new_rows, written
+    return new_rows
+
+
+def scatter_rows_dense(
+    values: jax.Array,  # (M, D) or (M,) source values
+    slots: jax.Array,  # (M,) int32 target rows (may repeat; OOB = dropped)
+    valid: jax.Array,  # (M,) bool
+    out_rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense scatter: returns (new_rows (out_rows, D), written (out_rows,)).
+
+    XLA lowers ``x.at[idx].set`` to a scatter op that executes close to
+    serially on TPU (measured ~2 ms per 1024-index scatter — the round-2
+    SLAM-mode bottleneck, hidden from stage microbenchmarks by
+    loop-invariant hoisting).  This reformulation is pure vector work: a
+    (out_rows, M) equality table, an argmax per row to pick a writer
+    (first valid occurrence wins on duplicates), and a row gather — see
+    :func:`row_select` / :func:`apply_row_select` for the shared-table
+    form used when several payloads scatter along the same indices.
+    """
+    sel_first, written = row_select(slots, valid, out_rows)
+    return apply_row_select(sel_first, written, values), written
 
 
 def _apply_row_scatter(
@@ -185,8 +214,9 @@ def insert_points(
     # window lands in the ring via roll → blit → roll-back, all cheap
     # vector ops (see scatter_rows_dense for why not scatter).
     w0 = m.point_count % m.capacity
-    blk_pts, blk_written = scatter_rows_dense(new_points, offsets, new_valid, n)
-    blk_birth, _ = scatter_rows_dense(m.point_count + offsets, offsets, new_valid, n)
+    sel_first, blk_written = row_select(offsets, new_valid, n)
+    blk_pts = apply_row_select(sel_first, blk_written, new_points)
+    blk_birth = apply_row_select(sel_first, blk_written, m.point_count + offsets)
 
     def blit(target, block, written_col):
         rolled = jnp.roll(target, -w0, axis=0)
@@ -370,13 +400,16 @@ def update_map_chunk(
         )
 
         # --- propagate landmark identity to the current frame ----------------
+        # Slot + birth share one writer-selection table (see row_select).
         k_cap = a.kp_to_point.shape[0]
         carry_ok = mv & (pt_slot >= 0) & (alive | (new_mask & enabled))
-        slot_rows, written_k = scatter_rows_dense(pt_slot, tc, carry_ok, k_cap)
-        kp_to_point = jnp.where(written_k, slot_rows, -1)
         birth_of = m5.point_birth[jnp.maximum(pt_slot, 0)]
-        birth_rows, _ = scatter_rows_dense(birth_of, tc, carry_ok, k_cap)
-        kp_birth = jnp.where(written_k, birth_rows, -1)
+        sel_k, written_k = row_select(tc, carry_ok, k_cap)
+        payload = apply_row_select(
+            sel_k, written_k, jnp.stack([pt_slot, birth_of], axis=1)
+        )
+        kp_to_point = jnp.where(written_k, payload[:, 0], -1)
+        kp_birth = jnp.where(written_k, payload[:, 1], -1)
         a2 = AssocState(
             kp_to_point=kp_to_point,
             kp_birth=kp_birth,

@@ -229,14 +229,46 @@ def motion_pnp(
     Kf = K.astype(dtype)
     R, t = R0.astype(dtype), t0.astype(dtype)
     vf = valid.astype(dtype)
+    fx, fy = Kf[0, 0], Kf[1, 1]
 
+    # Fused IRLS-GN iteration: the Huber weights and the GN step are both
+    # evaluated at the SAME (R, t), so one projection/residual pass feeds
+    # both (calling reprojection_errors + refine_pnp_gn per iteration
+    # recomputed Xc/pix twice at identical poses — this solver sits on the
+    # per-frame tracking scan's sequential spine, where op count is the
+    # latency; the fusion is numerically identical by construction).
     for i in range(iters):
         delta = huber_schedule[min(i, len(huber_schedule) - 1)]
-        err, z = reprojection_errors(Kf, R, t, X, uv)
+        Xc = jnp.matmul(X, R.T, precision="highest") + t  # (M, 3)
+        z = Xc[:, 2]
+        behind = z <= 1e-6
+        z_safe = jnp.where(behind, 1.0, z)
+        inv_z = 1.0 / z_safe
+        pix = jnp.matmul(Xc * inv_z[:, None], Kf.T, precision="highest")
+        r = pix[:, :2] - uv  # (M, 2)
+        err = jnp.linalg.norm(r, axis=-1)
         # Huber IRLS weight: 1 inside the width, δ/|r| outside; cheirality
         # and validity zero the rest.
-        w = vf * jnp.where(z > 1e-6, jnp.minimum(1.0, delta / jnp.maximum(err, 1e-9)), 0.0)
-        R, t = refine_pnp_gn(Kf, R, t, X, uv, w, iters=1)
+        w = vf * jnp.where(
+            ~behind, jnp.minimum(1.0, delta / jnp.maximum(err, 1e-9)), 0.0
+        )
+        zero = jnp.zeros_like(z)
+        du = jnp.stack([fx * inv_z, zero, -fx * Xc[:, 0] * inv_z**2], axis=-1)
+        dv = jnp.stack([zero, fy * inv_z, -fy * Xc[:, 1] * inv_z**2], axis=-1)
+        dpi = jnp.stack([du, dv], axis=-2)  # (M, 2, 3)
+        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (X.shape[0], 3, 3))
+        dXc = jnp.concatenate([eye3, -hat(Xc)], axis=-1)  # (M, 3, 6)
+        J = jnp.matmul(dpi, dXc, precision="highest")  # (M, 2, 6)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("mij,mik->jk", Jw, J, precision="highest")
+        g = jnp.einsum("mij,mi->j", Jw, r, precision="highest")
+        diag = jnp.diagonal(H)
+        H = H + (1e-6 * diag + 1e-8)[:, None] * jnp.eye(6, dtype=dtype)
+        step = -jnp.linalg.solve(H, g[:, None])[:, 0]
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step, 0.0)
+        dR = so3_exp(step[3:])
+        R = jnp.matmul(dR, R, precision="highest")
+        t = jnp.matmul(dR, t[:, None], precision="highest")[:, 0] + step[:3]
 
     err, z = reprojection_errors(Kf, R, t, X, uv)
     inliers = (err < reproj_threshold) & (z > 0) & valid

@@ -186,8 +186,32 @@ class LoopClosureConfig:
     reloc_ratio_threshold: float = 0.8
     # TPU capacity fields.
     max_keyframes: int = 512
+    # Ring-overflow eviction policy.  The reference's keyframe DB is
+    # unbounded (``loop_closure.cpp:96-109``); a fixed-capacity DB must
+    # pick victims.  "fifo" recycles oldest-first — on any sequence longer
+    # than the ring it evicts exactly the early keyframes loops close
+    # against.  "redundancy" (default) evicts the rows whose content the
+    # rest of the DB best duplicates (max BoW similarity to any other
+    # row), so self-similar stretches collapse to a few representatives
+    # while distinctive places survive arbitrarily long — the bounded-
+    # memory analog of ORB-SLAM's redundant-keyframe culling.  Runs under
+    # a cond only on overflowing chunks (pre-overflow cost: none).
+    eviction_policy: str = "redundancy"
+    # Rows with ids within this many frames of the newest keyframe are
+    # never evicted (tracking/relocalization needs the recent past; recent
+    # rows are also transiently "redundant" with each other, which would
+    # otherwise make them the first victims).
+    eviction_protect_recent: int = 64
 
     def __post_init__(self) -> None:
+        if self.eviction_policy not in ("fifo", "redundancy"):
+            raise ValueError(
+                "'EvictionPolicy' must be 'fifo' or 'redundancy'."
+            )
+        if self.eviction_protect_recent < 0:
+            raise ValueError(
+                "'EvictionProtectRecent' must be non-negative."
+            )
         if self.min_db_size < 0:
             raise ValueError("'MinDbSize' must be a non-negative integer.")
         if self.min_frames_difference <= 0:
@@ -229,6 +253,10 @@ class LoopClosureConfig:
             verify_budget=int(_get(doc, "VerifyBudget", 0)),
             reloc_ratio_threshold=float(_get(doc, "RelocRatioThreshold", 0.8)),
             max_keyframes=int(_get(doc, "MaxKeyframes", 512)),
+            eviction_policy=str(_get(doc, "EvictionPolicy", "redundancy")),
+            eviction_protect_recent=int(
+                _get(doc, "EvictionProtectRecent", 64)
+            ),
         )
 
 
@@ -247,10 +275,20 @@ class PoseConfig:
     inlier_threshold_px: float = 1.0
     min_matches: int = 8  # reference pose_estimator.cpp:22-26
     seed: int = 0
+    # Hypothesis budget when the two-view solve only SEEDS map-centric PnP
+    # tracking (tracking="pnp"): the absolute pose comes from motion_pnp
+    # against the landmark map, gated by inlier-fraction/coverage checks
+    # with a RANSAC-PnP fallback — the seed tolerates a smaller budget
+    # (interleaved A/B on the bench clip: 512 ≈ +1.1 ms/chunk over 1024
+    # with identical fixture trajectories; configs/fast documents the same
+    # envelope for pure VO).  0 = use num_hypotheses.
+    seed_num_hypotheses: int = 512
 
     def __post_init__(self) -> None:
         if self.num_hypotheses <= 0:
             raise ValueError("'NumHypotheses' must be a positive integer.")
+        if self.seed_num_hypotheses < 0:
+            raise ValueError("'SeedNumHypotheses' must be >= 0.")
         if self.sample_size != 5 and self.sample_size < 8:
             raise ValueError(
                 "'SampleSize' must be 5 (Nistér minimal solver, the "
@@ -269,6 +307,7 @@ class PoseConfig:
             inlier_threshold_px=float(_get(doc, "InlierThresholdPx", 1.0)),
             min_matches=int(_get(doc, "MinMatches", 8)),
             seed=int(_get(doc, "Seed", 0)),
+            seed_num_hypotheses=int(_get(doc, "SeedNumHypotheses", 512)),
         )
 
 

@@ -71,6 +71,9 @@ class ChunkResult(NamedTuple):
     m_valid: jax.Array | None = None  # (B, M)
     points3d: jax.Array | None = None  # (B, M, 3) — current-camera coords
     point_ok: jax.Array | None = None  # (B, M)
+    # PnP-tracking diagnostic: the costly RANSAC fallback cond was taken
+    # (healthy frames descend from the motion prior — see model/tracking.py).
+    pnp_used_ransac: jax.Array | None = None  # (B,)
 
 
 def _invert_rt(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -216,9 +219,16 @@ class SlamPipeline:
         # where chunk boundaries fall (checkpoint resume, utils/checkpoint).
         fids = state.frame_idx + jnp.arange(B, dtype=jnp.int32)
         keys = jax.vmap(lambda f: jax.random.fold_in(key, f))(fids)
+        # In PnP mode the two-view solve only SEEDS the map-centric tracker
+        # (motion_pnp + inlier/coverage gates + RANSAC-PnP fallback own the
+        # pose), so it runs at the smaller SeedNumHypotheses budget — see
+        # config.schema.PoseConfig.seed_num_hypotheses for the measurement.
+        n_hyp = pcfg.num_hypotheses
+        if self.tracking == "pnp" and pcfg.seed_num_hypotheses:
+            n_hyp = min(pcfg.seed_num_hypotheses, pcfg.num_hypotheses)
         pose_fn = partial(
             estimate_relative_pose,
-            num_hypotheses=pcfg.num_hypotheses,
+            num_hypotheses=n_hyp,
             sample_size=pcfg.sample_size,
             inlier_threshold_px=pcfg.inlier_threshold_px,
             min_matches=pcfg.min_matches,
@@ -423,6 +433,7 @@ class SlamPipeline:
                 track.pnp_ok, track.num_pnp_inliers, res.num_inliers
             ),
             pose_ok=track.pnp_ok | res.success,
+            pnp_used_ransac=track.used_ransac,
             **extra,
         )
         return result, PnpState(vo=new_vo, map=m_out, assoc=a_out)

@@ -79,7 +79,12 @@ class SlamSystem:
     keyframe_interval: int = 1
     ba_window: int = 8
     ba_interval: int = 4
-    ba_iterations: int = 5
+    # 4 static LM steps: fixture window cost plateaus by step 4 (final BA
+    # costs match the 5-step schedule to <1% on the out-and-back and
+    # bench-clip windows) and the 5th step cost ~1 ms/chunk inside the
+    # sequence scan (interleaved A/B 2026-08-20: ba4 514.5 vs ba5 497.9
+    # FPS median on slam-pnp).
+    ba_iterations: int = 4
     # Compaction capacity for BA's LM loop (tpuslam.backend.ba): the
     # number of *observed* map points gathered into the dense Hessian
     # block.  A full 8-keyframe fixture window shows ~300 observed points;

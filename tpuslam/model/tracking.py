@@ -35,9 +35,10 @@ from tpuslam.backend.map import (
     AssocState,
     MapState,
     add_observations,
+    apply_row_select,
     insert_keyframe,
     insert_points,
-    scatter_rows_dense,
+    row_select,
 )
 from tpuslam.backend.pnp import motion_pnp, ransac_pnp
 
@@ -48,6 +49,8 @@ class TrackChunkResult(NamedTuple):
     num_pnp_inliers: jax.Array  # (B,) int32
     scale: jax.Array  # (B,) float32 — metric baseline applied to the pair
     num_assoc: jax.Array  # (B,) int32 — live landmark associations fed to PnP
+    used_ransac: jax.Array  # (B,) bool — RANSAC fallback cond taken (costly;
+    # healthy frames descend from the motion prior instead)
 
 
 def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
@@ -62,7 +65,7 @@ def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "pnp_hypotheses", "pnp_min_inliers", "pnp_min_inlier_frac",
-        "pnp_min_coverage", "gate_px", "min_cand_depth",
+        "pnp_min_coverage", "gate_px", "min_cand_depth", "unroll",
     ),
 )
 def pnp_track_chunk(
@@ -90,6 +93,7 @@ def pnp_track_chunk(
     pnp_min_coverage: float = 0.4,
     gate_px: float = 8.0,
     min_cand_depth: float = 0.2,
+    unroll: int = 1,
 ) -> tuple[TrackChunkResult, MapState, AssocState, jax.Array]:
     """Track a chunk of frames against the map; returns poses + new state.
 
@@ -237,13 +241,18 @@ def pnp_track_chunk(
         )
 
         # --- propagate landmark identity -------------------------------------
+        # Both payloads (map slot + birth guard) ride ONE writer-selection
+        # table: the (K, M) equality/argmax build dominates the payload
+        # apply, and the indices are identical.
         k_cap = a.kp_to_point.shape[0]
         carry_ok = mv & (pt_slot >= 0) & (obs_alive | new_mask)
-        slot_rows, written_k = scatter_rows_dense(pt_slot, tc, carry_ok, k_cap)
-        kp_to_point = jnp.where(written_k, slot_rows, -1)
         birth_of = m5.point_birth[jnp.maximum(pt_slot, 0)]
-        birth_rows, _ = scatter_rows_dense(birth_of, tc, carry_ok, k_cap)
-        kp_birth = jnp.where(written_k, birth_rows, -1)
+        sel_k, written_k = row_select(tc, carry_ok, k_cap)
+        payload = apply_row_select(
+            sel_k, written_k, jnp.stack([pt_slot, birth_of], axis=1)
+        )
+        kp_to_point = jnp.where(written_k, payload[:, 0], -1)
+        kp_birth = jnp.where(written_k, payload[:, 1], -1)
         a2 = AssocState(
             kp_to_point=kp_to_point,
             kp_birth=kp_birth,
@@ -251,10 +260,12 @@ def pnp_track_chunk(
             prev_xy=xy,
         )
         out = (T_cur, pnp_ok, n_inl, s_used,
-               jnp.sum(alive.astype(jnp.int32)))
+               jnp.sum(alive.astype(jnp.int32)), need_ransac)
         return (m5, a2, T_cur), out
 
-    (m_out, a_out, T_last), (poses, pnp_ok, n_inl, scale, n_assoc) = jax.lax.scan(
+    (m_out, a_out, T_last), (
+        poses, pnp_ok, n_inl, scale, n_assoc, used_ransac
+    ) = jax.lax.scan(
         step,
         (m, assoc, T_prev0),
         (
@@ -272,11 +283,12 @@ def pnp_track_chunk(
             z_prev_unit,
             point_ok,
         ),
+        unroll=unroll,
     )
     return (
         TrackChunkResult(
             poses=poses, pnp_ok=pnp_ok, num_pnp_inliers=n_inl, scale=scale,
-            num_assoc=n_assoc,
+            num_assoc=n_assoc, used_ransac=used_ransac,
         ),
         m_out,
         a_out,
