@@ -85,3 +85,46 @@ def test_inactive_edges_ignored():
     g = add_edge(g, 9, 0, 5, bogus, weight=0.0)
     out = optimize_pose_graph(g, iterations=5)
     np.testing.assert_allclose(np.asarray(out.nodes), gt, atol=1e-3)
+
+
+def test_pcg_matches_dense_solver():
+    """The matrix-free PCG path must reproduce the dense solve (it exists
+    because the dense (6N,6N) LU OOMed a chip at N~1500 in the round-4
+    soak; small graphs stay exact-dense by default)."""
+    gt = circle_trajectory(60)
+    est = drifted_trajectory(gt)
+    T_rel = jnp.asarray(np.linalg.inv(gt[0]) @ gt[59], jnp.float32)
+
+    def solve(solver):
+        g = graph_from_trajectory(jnp.asarray(est, jnp.float32))
+        g = add_edge(g, 59, 0, 59, T_rel, weight=20.0)
+        return np.asarray(
+            optimize_pose_graph(g, iterations=15, solver=solver).nodes
+        )
+
+    dense = solve("dense")
+    pcg = solve("pcg")
+    # same optimum: endpoint positions agree to millimetres on a 10-unit
+    # circle, all node positions to centimetres
+    np.testing.assert_allclose(pcg[:, :3, 3], dense[:, :3, 3], atol=2e-2)
+    rel_d = np.linalg.inv(dense[0]) @ dense[59]
+    rel_p = np.linalg.inv(pcg[0]) @ pcg[59]
+    np.testing.assert_allclose(rel_p, rel_d, atol=5e-3)
+
+
+def test_pcg_scales_to_large_graphs():
+    """N=1200 nodes + loop edge: the dense path would need a (7200,7200)
+    LU; PCG must converge and close the loop."""
+    gt = circle_trajectory(1200)
+    est = drifted_trajectory(gt, drift_per_step=0.002)
+    drift_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift_before > 0.5
+    g = graph_from_trajectory(jnp.asarray(est, jnp.float32))
+    T_rel = jnp.asarray(np.linalg.inv(gt[0]) @ gt[1199], jnp.float32)
+    g = add_edge(g, 1199, 0, 1199, T_rel, weight=20.0)
+    out = optimize_pose_graph(g, iterations=10)  # auto-selects pcg
+    opt = np.asarray(out.nodes)
+    rel_after = np.linalg.inv(opt[0]) @ opt[1199]
+    err_after = np.linalg.norm(rel_after[:3, 3] - np.asarray(T_rel)[:3, 3])
+    assert err_after < 0.05 * drift_before
+    assert np.isfinite(opt).all()
