@@ -303,3 +303,66 @@ def test_relocalization_rescues_corrupted_sequence(data_dir):
     # forward motion); relocalization must recover most of it.
     assert end_err_without > 1.0, end_err_without
     assert end_err_with < 0.5 * end_err_without, (end_err_with, end_err_without)
+
+
+def test_pnp_relocalization_rescues_and_keeps_map_consistent(data_dir):
+    """PnP-mode blind span: relocalization must recover the endpoint AND
+    keep the map in the trajectory's world frame (round-3 left PnP mode
+    without relocalization precisely over this consistency question —
+    `_reloc_chunk_pnp` answers it by re-anchoring the landmarks/keyframe
+    rows its corrected frames inserted)."""
+    cam = Camera.from_yaml(CONFIGS / "camera.yml")
+    cfg = SlamConfig(
+        detector=DetectorConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio_test_threshold=0.8),
+        pose=PoseConfig(num_hypotheses=1024, inlier_threshold_px=2.0),
+        batch_size=5,
+    )
+    stream = FrameStream(data_dir / "images")
+    frames = np.stack(
+        [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    )
+    corrupted = frames.copy()
+    rng = np.random.default_rng(0)
+    corrupted[4] = rng.integers(0, 256, frames[0].shape, dtype=np.uint8)
+    corrupted[5] = rng.integers(0, 256, frames[0].shape, dtype=np.uint8)
+
+    def run(enable_reloc, seq):
+        system = SlamSystem(
+            cam, cfg, vocabulary=CONFIGS / "vocabulary.npz",
+            tracking="pnp", ba_window=8, ba_interval=3,
+            max_map_points=4096,
+            enable_pose_graph=False, enable_ba=False,  # isolate reloc
+            enable_relocalization=enable_reloc,
+        )
+        return system.run_sequence(seq)
+
+    clean = run(False, frames)["poses"]
+    out_with = run(True, corrupted)
+    out_without = run(False, corrupted)
+    with_r = out_with["poses"]
+    without_r = out_without["poses"]
+
+    end_err_with = np.linalg.norm(with_r[-1, :3, 3] - clean[-1, :3, 3])
+    end_err_without = np.linalg.norm(without_r[-1, :3, 3] - clean[-1, :3, 3])
+    assert out_with["reloc_ok"].any(), "relocalization never fired"
+    assert end_err_without > 1.0, end_err_without
+    assert end_err_with < 0.5 * end_err_without, (end_err_with, end_err_without)
+
+    # Map-frame consistency: every valid keyframe row of the final window
+    # must agree with the (corrected) trajectory — kf stores world→cam
+    # [R|t], the trajectory stores T_world_cam.
+    m = out_with["map"]
+    kf_R = np.asarray(m.kf_R)
+    kf_t = np.asarray(m.kf_t)
+    kf_id = np.asarray(m.kf_id)
+    kf_valid = np.asarray(m.kf_valid)
+    for s in np.nonzero(kf_valid)[0]:
+        fid = int(kf_id[s])
+        if not (0 <= fid < len(with_r)):
+            continue
+        T = np.eye(4)
+        T[:3, :3] = kf_R[s].T
+        T[:3, 3] = -kf_R[s].T @ kf_t[s]
+        err = np.linalg.norm(T[:3, 3] - with_r[fid][:3, 3])
+        assert err < 1e-3, (fid, err)

@@ -106,15 +106,14 @@ def main(argv: list[str] | None = None) -> int:
     log.info("Stream %s: %d frames", args.stream, stream.total_frames)
 
     if args.timeshard:
-        if args.slam or args.tracking != "vo" or args.resume:
-            parser.error("--timeshard supports plain VO tracking only "
-                         "(no --slam/--tracking pnp/--resume)")
+        if args.resume:
+            parser.error("--timeshard does not support --resume")
         if args.save_state:
             parser.error("--timeshard does not checkpoint (--save-state); "
-                         "per-shard VO state is not resumable")
+                         "per-shard state is not resumable")
         import numpy as np
 
-        from tpuslam.dist.timeshard import run_timesharded
+        from tpuslam.dist.timeshard import run_timesharded, run_timesharded_system
 
         # frame_indices() honours --frame-skip (same frames every other
         # mode would process)
@@ -124,7 +123,20 @@ def main(argv: list[str] | None = None) -> int:
         n_total = len(indices)
         frames = np.stack([stream.read_frame(i)[0] for i in indices])
         t0 = time.time()
-        result = run_timesharded(pipeline, frames, n_shards=args.timeshard)
+        if args.slam:
+            # full per-shard SLAM (map + LC + BA, VO or PnP tracking);
+            # loops across segment boundaries are out of scope (per-shard
+            # DBs — the context-parallel cut, see run_timesharded_system)
+            result = run_timesharded_system(
+                pipeline, frames, n_shards=args.timeshard
+            )
+        else:
+            if args.tracking != "vo":
+                parser.error(
+                    "--timeshard --tracking pnp requires --slam (the "
+                    "map-centric tracker needs its per-shard map)"
+                )
+            result = run_timesharded(pipeline, frames, n_shards=args.timeshard)
         dt = time.time() - t0
         log.info(
             "Time-sharded %d frames over %d segments (S=%d, V=%d) in %.2fs",
@@ -137,13 +149,17 @@ def main(argv: list[str] | None = None) -> int:
 
             plot_trajectory(result["poses"], args.plot)
         if args.stats:
-            print(json.dumps({
+            stats = {
                 "frames": int(n_total),
                 "seconds": dt,
                 "fps": n_total / dt,
                 "pose_ok": int(result["pose_ok"].sum()),
                 "segments": int(args.timeshard),
-            }))
+            }
+            if args.slam:
+                stats["loops"] = len(result.get("loops", []))
+                stats["ba_events"] = len(result.get("ba_events", []))
+            print(json.dumps(stats))
         return 0
 
     resume_state = None

@@ -41,6 +41,15 @@ from tpuslam.pre.stream import FrameStream
 BATCH = 16
 N_REPS = 30
 
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU
+# (f32-accumulated "highest"-precision matmuls run at ~1/3-1/4 of this;
+# int8 at 2×), 819 GB/s HBM.  The MFU/BW columns below use these
+# denominators — the point is the roofline CLASSIFICATION per stage
+# (compute-, bandwidth-, or latency-bound), which picks the next
+# optimization target, not a precise single-number MFU.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
 
 def _to_scalar(out) -> jax.Array:
     leaves = [a for a in jax.tree.leaves(out) if isinstance(a, jax.Array)]
@@ -50,8 +59,21 @@ def _to_scalar(out) -> jax.Array:
     return acc
 
 
+def _cost_analysis(compiled) -> tuple[float, float]:
+    """(flops, bytes accessed) from XLA's cost model; (0, 0) if unsupported."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0)), float(
+            cost.get("bytes accessed", 0.0)
+        )
+    except Exception:
+        return 0.0, 0.0
+
+
 def honest(tag: str, fn, *args, salted: int = 0, n: int = N_REPS) -> None:
-    """Print steady-state ms/frame of ``fn(*args)``.
+    """Print steady-state ms/frame + roofline columns of ``fn(*args)``.
 
     ``salted``: index of the positional arg to perturb per dispatch (must be
     a numeric jax array; the salt is added elementwise, wrapping for uint8).
@@ -63,6 +85,8 @@ def honest(tag: str, fn, *args, salted: int = 0, n: int = N_REPS) -> None:
         a[salted] = a[salted] + salt.astype(a[salted].dtype)
         return _to_scalar(fn(*a))
 
+    lowered = run.lower(jnp.int32(0), *args)
+    flops, nbytes = _cost_analysis(lowered.compile())
     r = run(jnp.int32(0), *args)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
@@ -70,7 +94,24 @@ def honest(tag: str, fn, *args, salted: int = 0, n: int = N_REPS) -> None:
         r = run(jnp.int32(i % 3), *args)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / n
-    print(f"{tag:26s}{dt * 1e3 / BATCH:8.3f} ms/frame")
+    if flops or nbytes:
+        tf = flops / dt / 1e12
+        gb = nbytes / dt / 1e9
+        # Roofline verdict: which ceiling is closer, or neither (latency).
+        mfu = tf * 1e12 / V5E_PEAK_FLOPS
+        bwu = gb * 1e9 / V5E_PEAK_BYTES
+        kind = (
+            "latency" if max(mfu, bwu) < 0.05
+            else ("compute" if mfu >= bwu else "bandwidth")
+        )
+        print(
+            f"{tag:26s}{dt * 1e3 / BATCH:8.3f} ms/frame "
+            f"{flops / BATCH / 1e9:8.2f} GF/fr {tf:7.2f} TF/s "
+            f"({100 * mfu:5.1f}% MXU) {gb:6.0f} GB/s "
+            f"({100 * bwu:5.1f}% HBM)  [{kind}-bound]"
+        )
+    else:
+        print(f"{tag:26s}{dt * 1e3 / BATCH:8.3f} ms/frame")
 
 
 def main() -> None:

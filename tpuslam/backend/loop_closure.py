@@ -455,10 +455,53 @@ class LoopClosure:
         T = T.at[:3, :3].set(res.R).at[:3, 3].set(
             res.t * jnp.where(jnp.isfinite(scale), scale, 1.0)
         )
+        # The median depth-ratio scale over the handful of scale-eligible
+        # inliers is fragile: one-pair stored depths spread 1.6-4.8× of
+        # truth on a fixture keyframe, and whichever side of that spread
+        # the ≤10-point median lands on becomes the snap baseline
+        # (measured: two PRNG draws of the SAME scene placed the same
+        # relocalization 0.1 and 1.8 units from truth).  Polish with
+        # seeded Huber-IRLS GN over ALL matched stored points — the
+        # annealed robust weights suppress the noisy depths instead of
+        # letting them vote in a tiny median.  "World" frame here is the
+        # candidate's camera; the seed is the scaled-essential pose, so
+        # the wide basin (32 px) only ever tightens the estimate.
+        from tpuslam.backend.pnp import motion_pnp
+
+        gn_valid = match.valid & cand_mp_valid[t_i] & (z_stored > 1e-3)
+        gn = motion_pnp(
+            K, T[:3, :3], T[:3, 3], cand_mp[t_i], pts_q, gn_valid,
+            iters=6, min_inliers=cfg.min_inliers_for_pnp,
+            huber_schedule=(32.0, 16.0, 8.0, 4.0, 2.0, 2.0),
+            reproj_threshold=cfg.ransac_reprojection_threshold,
+        )
+        T = jnp.where(
+            gn.success,
+            jnp.eye(4, dtype=jnp.float32)
+            .at[:3, :3].set(gn.R).at[:3, 3].set(gn.t),
+            T,
+        )
+        # Path choice by inlier competitiveness, not by "PnP verified":
+        # RANSAC-PnP's wide-baseline failure mode is a barely-over-floor
+        # verification on noisy one-pair depths (measured: a 4-frame-
+        # baseline candidate PnP-"verified" with ~floor inliers while the
+        # essential path held 29, and the preferred-PnP snap landed 1.8
+        # units short).  At genuine small baseline — PnP's home regime,
+        # where the essential translation is degenerate but its epipolar
+        # inlier count is spuriously high — BOTH counts are high, so
+        # requiring PnP to hold ≥75% of the essential count keeps PnP
+        # preferred exactly where it is trustworthy.
+        use_pnp = ok_pnp & (
+            ~ok
+            | (
+                ni_pnp.astype(jnp.float32)
+                >= 0.75 * res.num_inliers.astype(jnp.float32)
+            )
+        )
         return (
             ok_pnp | ok,
-            jnp.where(ok_pnp, T_pnp, T),
-            jnp.where(ok_pnp, ni_pnp, res.num_inliers),
+            jnp.where(use_pnp, T_pnp, T),
+            jnp.where(use_pnp, ni_pnp, res.num_inliers),
         )
 
     def relocalize_chunk(

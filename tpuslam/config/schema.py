@@ -276,13 +276,17 @@ class PoseConfig:
     min_matches: int = 8  # reference pose_estimator.cpp:22-26
     seed: int = 0
     # Hypothesis budget when the two-view solve only SEEDS map-centric PnP
-    # tracking (tracking="pnp"): the absolute pose comes from motion_pnp
-    # against the landmark map, gated by inlier-fraction/coverage checks
-    # with a RANSAC-PnP fallback — the seed tolerates a smaller budget
-    # (interleaved A/B on the bench clip: 512 ≈ +1.1 ms/chunk over 1024
-    # with identical fixture trajectories; configs/fast documents the same
-    # envelope for pure VO).  0 = use num_hypotheses.
-    seed_num_hypotheses: int = 512
+    # tracking (tracking="pnp").  0 (default) = use num_hypotheses.  A
+    # halved budget measured +1.1 ms/chunk on the bench clip with
+    # identical fixture TRAJECTORIES — but the two-view solve also feeds
+    # the pair TRIANGULATIONS that become map landmarks and keyframe-DB
+    # depths, and there a 512-budget draw measured 75 essential inliers
+    # vs 102 at 1024 on one fixture pair, with depth spread bad enough to
+    # break relocalization's depth-ratio scale (snap 1.8 units short).
+    # Trajectory parity alone is NOT sufficient evidence to lower this;
+    # set it explicitly only for deployments that don't rely on
+    # relocalization/loop-closure depth quality.
+    seed_num_hypotheses: int = 0
 
     def __post_init__(self) -> None:
         if self.num_hypotheses <= 0:
@@ -307,7 +311,7 @@ class PoseConfig:
             inlier_threshold_px=float(_get(doc, "InlierThresholdPx", 1.0)),
             min_matches=int(_get(doc, "MinMatches", 8)),
             seed=int(_get(doc, "Seed", 0)),
-            seed_num_hypotheses=int(_get(doc, "SeedNumHypotheses", 512)),
+            seed_num_hypotheses=int(_get(doc, "SeedNumHypotheses", 0)),
         )
 
 

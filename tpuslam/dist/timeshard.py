@@ -153,6 +153,154 @@ def run_timesharded(
     }
 
 
+def run_timesharded_system(
+    system,
+    frames: np.ndarray,
+    n_shards: int | None = None,
+    overlap: int | None = None,
+    seed: int = 0,
+    mesh=None,
+) -> dict:
+    """Time-shard a FULL SLAM run (tracking + map + loop closure + BA).
+
+    Each shard runs the complete ``SlamSystem._sequence_impl`` program —
+    its own landmark map, keyframe DB and BA schedule — via
+    ``shard_sequence_program`` (one unbatched program per core: the
+    chunk-level ``lax.cond``s — LC verification skip, relocalization,
+    PnP's RANSAC fallback — stay real branches; under ``vmap`` they
+    lower to both-branches selects).  Host-side, each shard folds its own
+    BA snapshots and pose-graph corrections into its LOCAL trajectory
+    first, then the corrected cores stitch exactly as the VO mode does.
+
+    Scope boundary (the context-parallel cut): maps and keyframe DBs are
+    per-shard, so loop closures ACROSS segment boundaries are not
+    detected — a loop's query and matched keyframe must fall in the same
+    shard.  Loop/BA events are reported with global frame ids,
+    core-region only.
+    """
+    import jax.numpy as jnp
+
+    from tpuslam.backend.map import empty_assoc, empty_map
+    from tpuslam.dist.mesh import shard_sequence_program
+
+    if mesh is None:
+        mesh = make_device_mesh(n_shards)
+    if n_shards is None:
+        n_shards = mesh.devices.size
+    B = system.config.batch_size
+    n = frames.shape[0]
+    shards, valid, S, V = shard_frames_in_time(frames, n_shards, B, overlap)
+    D, L = shards.shape[:2]
+    C = L // B
+    chunks = shards.reshape(D, C, B, *shards.shape[2:])
+    chunk_valid = valid.reshape(D, C, B)
+
+    db = (
+        system.loop_closure.new_db(
+            system.config.detector.max_keypoints,
+            system.config.detector.descriptor_bytes,
+        )
+        if system.loop_closure is not None
+        else jnp.zeros(())
+    )
+    if system.tracking == "pnp":
+        carry0 = (
+            system.pipeline.initial_pnp_state(), db, jnp.asarray(0, jnp.int32)
+        )
+    else:
+        carry0 = (
+            system.pipeline.initial_state(),
+            empty_map(system.ba_window, system.max_map_points),
+            empty_assoc(system.config.detector.max_keypoints),
+            db,
+            jnp.asarray(0, jnp.int32),
+        )
+    carries = jax.tree.map(lambda a: jnp.broadcast_to(a, (D, *a.shape)), carry0)
+    keys = jax.vmap(lambda s: jax.random.split(jax.random.PRNGKey(s), C))(
+        seed + jnp.arange(D, dtype=jnp.uint32)
+    )
+    sh = sequence_sharding(mesh)
+
+    step = shard_sequence_program(system._sequence_impl, mesh)
+    _, outs = step(
+        jax.device_put(chunks, sh),
+        jax.device_put(jnp.asarray(chunk_valid), sh),
+        carries,
+        keys,
+    )
+
+    poses = np.array(outs["poses"]).reshape(D, L, 4, 4)  # writable copy
+    pose_ok = np.asarray(outs["pose_ok"]).reshape(D, L)
+    kf_enabled = np.asarray(outs["kf_enabled"]).reshape(D, L)
+
+    # --- per-shard host folding: BA snapshots, then the pose graph ---------
+    all_loops: list[dict] = []
+    all_ba_events: list[dict] = []
+    for d in range(D):
+        offset = 0 if d == 0 else d * S - V
+        if system.enable_ba and "ba_ran" in outs:
+            ran = np.asarray(outs["ba_ran"][d])
+            costs = np.asarray(outs["ba_costs"][d])
+            for c in np.nonzero(ran)[0]:
+                snap = {
+                    "kf_id": np.asarray(outs["ba_kf_id"][d][c]),
+                    "kf_valid": np.asarray(outs["ba_kf_valid"][d][c]),
+                    "kf_R": np.asarray(outs["ba_kf_R"][d][c]),
+                    "kf_t": np.asarray(outs["ba_kf_t"][d][c]),
+                }
+                poses[d] = system._apply_ba_snapshot(snap, poses[d])
+                fid_local = int(min((c + 1) * B, L) - 1)
+                core_lo = 0 if d == 0 else V
+                if core_lo <= fid_local:
+                    all_ba_events.append(
+                        {
+                            "frame_id": offset + fid_local,
+                            "initial_cost": float(costs[c, 0]),
+                            "final_cost": float(costs[c, 1]),
+                        }
+                    )
+        loops_d: list[dict] = []
+        if "loop" in outs:
+            lres = outs["loop"]
+            succ = np.asarray(lres.success[d]).reshape(-1)
+            matched = np.asarray(lres.matched_keyframe_id[d]).reshape(-1)
+            n_inl = np.asarray(lres.num_inliers[d]).reshape(-1)
+            T_rel = np.asarray(lres.relative_transform[d]).reshape(-1, 4, 4)
+            for f in np.nonzero(succ)[0]:
+                loops_d.append(
+                    {
+                        "frame_id": int(f),
+                        "matched_keyframe_id": int(matched[f]),
+                        "num_inliers": int(n_inl[f]),
+                        "relative_transform": T_rel[f],
+                    }
+                )
+        kf_fids_d = [int(f) for f in np.nonzero(kf_enabled[d])[0]]
+        if system.enable_pose_graph and loops_d and len(kf_fids_d) >= 2:
+            poses[d] = system._apply_pose_graph(poses[d], kf_fids_d, loops_d)
+        core_lo = 0 if d == 0 else V
+        for lp in loops_d:
+            if lp["frame_id"] >= core_lo:
+                all_loops.append({**lp,
+                                  "frame_id": offset + lp["frame_id"],
+                                  "matched_keyframe_id": offset
+                                  + lp["matched_keyframe_id"]})
+
+    stitched = stitch_segments(poses, S, V, n, pose_ok=pose_ok)
+    core_ok = np.concatenate(
+        [pose_ok[0, :S]] + [pose_ok[d, V : V + S] for d in range(1, D)]
+    )[:n]
+    return {
+        "poses": stitched,
+        "pose_ok": core_ok,
+        "segments": poses,
+        "loops": all_loops,
+        "ba_events": all_ba_events,
+        "S": S,
+        "V": V,
+    }
+
+
 # --------------------------------------------------------------------------
 # Host-side Sim(3) stitching
 # --------------------------------------------------------------------------

@@ -74,6 +74,18 @@ class ChunkResult(NamedTuple):
     # PnP-tracking diagnostic: the costly RANSAC fallback cond was taken
     # (healthy frames descend from the motion prior — see model/tracking.py).
     pnp_used_ransac: jax.Array | None = None  # (B,)
+    # PnP-tracking relocalization support: which frames solved an ABSOLUTE
+    # pose against the map (self-anchored — a later rigid relocalization
+    # correction must not touch them), and each frame's landmark-birth
+    # watermark (so a correction re-anchors exactly the points that frame
+    # and its chained successors inserted).
+    pnp_absolute_ok: jax.Array | None = None  # (B,)
+    pnp_point_count0: jax.Array | None = None  # (B,) int32
+    # Per-frame landmark association (map slot + birth guard per keypoint)
+    # — lets the loop-closure DB store multi-view landmark positions
+    # instead of one-pair triangulations (see model/tracking.py).
+    pnp_kp_to_point: jax.Array | None = None  # (B, K) int32
+    pnp_kp_birth: jax.Array | None = None  # (B, K) int32
 
 
 def _invert_rt(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -434,6 +446,10 @@ class SlamPipeline:
             ),
             pose_ok=track.pnp_ok | res.success,
             pnp_used_ransac=track.used_ransac,
+            pnp_absolute_ok=track.pnp_ok,
+            pnp_point_count0=track.point_count0,
+            pnp_kp_to_point=track.kp_to_point,
+            pnp_kp_birth=track.kp_birth,
             **extra,
         )
         return result, PnpState(vo=new_vo, map=m_out, assoc=a_out)

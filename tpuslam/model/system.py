@@ -109,20 +109,18 @@ class SlamSystem:
     enable_loop_closure: bool = True
     enable_ba: bool = True
     enable_pose_graph: bool = True
-    # Global relocalization (VO mode): frames that lose tracking query the
-    # keyframe DB by BoW (no temporal gates) and, on geometric verification,
-    # snap to an absolute pose anchored at the matched keyframe's stored
-    # pose — the recovery path the reference's architecture implies but
-    # never builds.  At most `reloc_budget` lost frames per chunk verify
-    # (loss is rare; the budget keeps the chunk program cheap).
-    #
-    # PnP mode deliberately has no post-hoc relocalization: its tracker is
-    # already map-centric (landmark re-association self-recovers from
-    # short losses), and a chunk-level pose correction there would split
-    # the trajectory from the map's world frame — the map inserts happen
-    # INSIDE the tracking scan, so a correct fix means relocalizing inside
-    # that scan (≈2× per-frame tracking cost as a masked always-on stage),
-    # which is not worth it for the rare full-occlusion case.
+    # Global relocalization (both modes): frames that lose tracking query
+    # the keyframe DB by BoW (no temporal gates) and, on geometric
+    # verification, snap to an absolute pose anchored at the matched
+    # keyframe's stored pose — the recovery path the reference's
+    # architecture implies but never builds.  At most `reloc_budget` lost
+    # frames per chunk verify (loss is rare; the budget keeps the chunk
+    # program cheap); both modes pay nothing on healthy chunks (chunk-
+    # level lax.cond).  PnP mode additionally re-anchors the landmarks
+    # and keyframe-window rows its corrected frames inserted, and stops
+    # the correction at the first later frame that re-solved an absolute
+    # pose against the map — see `_reloc_chunk_pnp` for why that closes
+    # the map-frame consistency question that round 3 left open.
     enable_relocalization: bool = True
     reloc_budget: int = 2
 
@@ -144,14 +142,40 @@ class SlamSystem:
             )
         self._sequence_jit = jax.jit(self._sequence_impl)
         # jitted for the streaming run() host loop (the sequence scan
-        # inlines _reloc_chunk directly)
+        # inlines _reloc_chunk / _reloc_chunk_pnp directly)
         self._reloc_chunk_jit = jax.jit(self._reloc_chunk)
+        self._reloc_chunk_pnp_jit = jax.jit(self._reloc_chunk_pnp)
+        self._lc_chunk_jit = jax.jit(self._lc_chunk, static_argnames=("B",))
 
     # --- shared backend stages --------------------------------------------------
-    def _lc_chunk(self, db, fids, kf_enabled, result, key2, B):
+    def _lc_chunk(self, db, fids, kf_enabled, result, key2, B, m=None):
         mp, mpv = _map_points_per_keypoint(
             result.kps_valid, result.m_train, result.point_ok, result.points3d
         )
+        if m is not None and result.pnp_kp_to_point is not None:
+            # PnP mode: the DB stores each keyframe's MAP LANDMARK
+            # positions (multi-view, BA-refined, world → that frame's
+            # camera) wherever the keypoint is associated, with the pair
+            # triangulation only as fallback for unassociated keypoints.
+            # One-pair depths carry enough noise to break relocalization's
+            # depth-ratio scale (measured: stored/unit ratios spread
+            # 1.0-4.2 on one keyframe, snapping a relocalized frame 1.8
+            # units short); landmark depths are the reference's actual
+            # intent for ``KeyframeData::mapPoints``
+            # (``loop_closure.cpp:96-109``).
+            slot = jnp.maximum(result.pnp_kp_to_point, 0)  # (B, K)
+            okp = (
+                (result.pnp_kp_to_point >= 0)
+                & (m.point_birth[slot] == result.pnp_kp_birth)
+                & m.point_valid[slot]
+                & result.kps_valid
+            )
+            X = m.points[slot]  # (B, K, 3) world
+            R_cw = jnp.swapaxes(result.poses[:, :3, :3], -1, -2)  # (B,3,3)
+            C = result.poses[:, :3, 3]  # (B, 3)
+            Xc = jnp.einsum("bij,bkj->bki", R_cw, X - C[:, None, :])
+            mp = jnp.where(okp[..., None], Xc, mp)
+            mpv = okp | mpv
         return self.loop_closure._process_chunk_impl(
             db, fids, kf_enabled, result.desc, result.kps_xy,
             result.kps_valid, mp, mpv, self._K, jax.random.split(key2, B),
@@ -202,6 +226,118 @@ class SlamSystem:
             return m_in, jnp.float32(0), jnp.float32(0), jnp.asarray(False)
 
         return jax.lax.cond(since_ba >= self.ba_interval, do_ba, no_ba, m)
+
+    def _reloc_chunk_pnp(self, db, result, m, valid, fids, key):
+        """Relocalize lost frames of a PnP chunk; re-anchor the map too.
+
+        The map-frame consistency question (round-3's stated reason PnP
+        mode had no relocalization): map inserts happen INSIDE the
+        tracking scan, so a post-hoc pose snap must also correct the
+        landmarks/keyframes that the corrected frames inserted, or the
+        trajectory and the map split into two world frames.  Three facts
+        make the exact fix cheap:
+
+        * a frame whose trackers BOTH fail inserts nothing (``enabled``
+          gates inserts on ``pnp_ok | vok``), so a genuinely blind span
+          never pollutes the map;
+        * a frame that later re-solves an ABSOLUTE pose against the
+          persistent map (``pnp_absolute_ok``) is self-anchored: the
+          rigid correction must stop there (unlike VO mode, where every
+          pose is chained and the last-snap-wins prefix runs to the
+          chunk end);
+        * the landmarks each frame inserted are exactly those with
+          ``point_birth >= point_count0[f]`` (birth counters are
+          monotone), so per-point corrections are a comparison + gather,
+          and keyframe-window rows map back to frames by ``kf_id``.
+
+        Correction per frame f: the LATEST event at-or-before f wins —
+        a reloc snap applies ``M = T_reloc·T_f⁻¹``; an absolute-PnP
+        anchor resets to identity.  World-frame update X' = M X ⇒
+        keyframe (R, t) → (R·M_Rᵀ, t − R·M_Rᵀ·M_t).  Only poses, flags,
+        the (P, 3) point buffer and the (W, 3, 3) keyframe rows cross the
+        cond boundary (the ``_ba_cond`` pathology concerns far larger
+        carried state).
+        """
+        B = result.poses.shape[0]
+        need = valid & ~result.pose_ok & (fids > 0)
+        eyeB = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+        def do_reloc(_):
+            r_ok, T_reloc, _, _ = self.loop_closure._relocalize_impl(
+                db, need, result.desc, result.kps_xy, result.kps_valid,
+                self._K, jax.random.split(key, B), budget=self.reloc_budget,
+            )
+            R = result.poses[:, :3, :3]
+            t = result.poses[:, :3, 3]
+            Rt = jnp.swapaxes(R, -1, -2)
+            P_inv = (
+                eyeB.at[:, :3, :3].set(Rt)
+                .at[:, :3, 3].set(-jnp.einsum("bij,bj->bi", Rt, t))
+            )
+            Msnap = T_reloc @ P_inv
+            tri = jnp.arange(B)
+            last_snap = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(r_ok, tri, -1)
+            )
+            last_anchor = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(result.pnp_absolute_ok, tri, -1)
+            )
+            live = (last_snap >= 0) & (last_snap > last_anchor)
+            M = jnp.where(
+                live[:, None, None], Msnap[jnp.clip(last_snap, 0)], eyeB
+            )
+
+            # --- re-anchor landmarks born at corrected frames -------------
+            birth = m.point_birth  # (P,)
+            count0 = result.pnp_point_count0  # (B,)
+            fidx = (
+                jnp.sum(
+                    (birth[:, None] >= count0[None, :]).astype(jnp.int32),
+                    axis=1,
+                )
+                - 1
+            )  # (P,) owning frame, −1 = born before this chunk
+            Mp = M[jnp.clip(fidx, 0, B - 1)]  # (P, 4, 4)
+            corr_pt = (fidx >= 0) & m.point_valid
+            pts = (
+                jnp.einsum("pij,pj->pi", Mp[:, :3, :3], m.points)
+                + Mp[:, :3, 3]
+            )
+            points2 = jnp.where(corr_pt[:, None], pts, m.points)
+
+            # --- re-anchor keyframe-window rows inserted this chunk -------
+            kidx = m.kf_id - fids[0]  # (W,)
+            in_chunk = (kidx >= 0) & (kidx < B) & m.kf_valid
+            Mk = M[jnp.clip(kidx, 0, B - 1)]  # (W, 4, 4)
+            MkRT = jnp.swapaxes(Mk[:, :3, :3], -1, -2)
+            R2 = jnp.matmul(m.kf_R, MkRT, precision="highest")
+            t2 = m.kf_t - jnp.einsum("wij,wj->wi", R2, Mk[:, :3, 3])
+            kf_R2 = jnp.where(in_chunk[:, None, None], R2, m.kf_R)
+            kf_t2 = jnp.where(in_chunk[:, None], t2, m.kf_t)
+
+            return (
+                M @ result.poses,
+                result.pose_ok | r_ok,
+                points2,
+                kf_R2,
+                kf_t2,
+                M[-1],
+                r_ok,
+            )
+
+        def skip(_):
+            return (
+                result.poses, result.pose_ok, m.points, m.kf_R, m.kf_t,
+                jnp.eye(4, dtype=jnp.float32), jnp.zeros(B, bool),
+            )
+
+        poses, pose_ok, points2, kf_R2, kf_t2, M_last, r_ok = jax.lax.cond(
+            jnp.any(need), do_reloc, skip, None
+        )
+        m2 = m._replace(points=points2, kf_R=kf_R2, kf_t=kf_t2)
+        return (
+            result._replace(poses=poses, pose_ok=pose_ok), m2, M_last, r_ok
+        )
 
     def _reloc_chunk(self, db, result, valid, fids, key):
         """Relocalize lost frames of a VO chunk; fold rescues back in.
@@ -308,7 +444,19 @@ class SlamSystem:
                 result, st2 = self.pipeline._process_chunk_pnp(
                     frames, valid, st, key1, with_features=True
                 )
+                reloc_ok = jnp.zeros(B, bool)
+                if lc is not None and self.enable_relocalization:
+                    result, m_fix, M_last, reloc_ok = self._reloc_chunk_pnp(
+                        db, result, st2.map, valid, fids,
+                        jax.random.fold_in(key2, 777),
+                    )
+                    st2 = st2._replace(
+                        map=m_fix,
+                        vo=st2.vo._replace(pose=M_last @ st2.vo.pose),
+                    )
                 # every valid tracked frame is a keyframe in PnP mode
+                # (kf_enabled AFTER relocalization: rescued frames insert
+                # their corrected poses into the DB)
                 kf_enabled = valid & (result.pose_ok | (fids == 0))
                 m2 = st2.map
             else:
@@ -339,12 +487,12 @@ class SlamSystem:
                 "num_matches": result.num_matches,
                 "num_inliers": result.num_inliers,
                 "kf_enabled": kf_enabled,
+                "reloc_ok": reloc_ok,
             }
-            if not pnp_mode:
-                out["reloc_ok"] = reloc_ok
             if lc is not None:
                 db, out["loop"] = self._lc_chunk(
-                    db, fids, kf_enabled, result, key2, B
+                    db, fids, kf_enabled, result, key2, B,
+                    m=m2 if pnp_mode else None,
                 )
             since_ba = since_ba + jnp.sum(kf_enabled.astype(jnp.int32))
             if self.enable_ba:
@@ -599,8 +747,7 @@ class SlamSystem:
             B = result.poses.shape[0]
             fids_full = np.arange(frame_id, frame_id + B, dtype=np.int32)
             if (
-                not pnp_mode
-                and self.loop_closure is not None
+                self.loop_closure is not None
                 and db is not None
                 and self.enable_relocalization
                 # host gate: relocalizing nothing yields identity
@@ -617,11 +764,22 @@ class SlamSystem:
             ):
                 # identical key derivation to _sequence_impl (split-run ==
                 # single-run equality depends on it)
-                result, M_last, reloc_ok = self._reloc_chunk_jit(
-                    db, result, jnp.asarray(valid),
-                    jnp.asarray(fids_full), jax.random.fold_in(sub_lc, 777),
-                )
-                state = state._replace(pose=M_last @ state.pose)
+                if pnp_mode:
+                    result, m_fix, M_last, reloc_ok = self._reloc_chunk_pnp_jit(
+                        db, result, state.map, jnp.asarray(valid),
+                        jnp.asarray(fids_full),
+                        jax.random.fold_in(sub_lc, 777),
+                    )
+                    state = state._replace(
+                        map=m_fix,
+                        vo=state.vo._replace(pose=M_last @ state.vo.pose),
+                    )
+                else:
+                    result, M_last, reloc_ok = self._reloc_chunk_jit(
+                        db, result, jnp.asarray(valid),
+                        jnp.asarray(fids_full), jax.random.fold_in(sub_lc, 777),
+                    )
+                    state = state._replace(pose=M_last @ state.pose)
             else:
                 reloc_ok = jnp.zeros(B, bool)
             if pnp_mode:
@@ -670,26 +828,17 @@ class SlamSystem:
 
             # ---- loop closure: detect + insert the whole chunk, ONE dispatch
             if self.loop_closure is not None and db is not None:
-                sub2 = sub_lc
                 kf_enabled_dev = jnp.asarray(kf_mask) & (
                     result.pose_ok | (jnp.asarray(fids_full) == 0)
                 )
-                mp_per_kp, mp_valid_kp = _map_points_per_keypoint(
-                    result.kps_valid, result.m_train, result.point_ok,
-                    result.points3d,
-                )
-                db, lres = self.loop_closure.process_chunk(
+                db, lres = self._lc_chunk_jit(
                     db,
                     jnp.asarray(fids_full),
                     kf_enabled_dev,
-                    result.desc,
-                    result.kps_xy,
-                    result.kps_valid,
-                    mp_per_kp,
-                    mp_valid_kp,
-                    self._K,
-                    jax.random.split(sub2, B),
-                    poses=result.poses,
+                    result,
+                    sub_lc,
+                    B,
+                    m=world_map if pnp_mode else None,
                 )
                 rec["loop"] = {
                     "success": lres.success,

@@ -51,6 +51,16 @@ class TrackChunkResult(NamedTuple):
     num_assoc: jax.Array  # (B,) int32 — live landmark associations fed to PnP
     used_ransac: jax.Array  # (B,) bool — RANSAC fallback cond taken (costly;
     # healthy frames descend from the motion prior instead)
+    point_count0: jax.Array  # (B,) int32 — map point_count BEFORE each
+    # frame's inserts (birth watermark: relocalization re-anchors exactly
+    # the landmarks born at-or-after a corrected frame)
+    kp_to_point: jax.Array  # (B, K) int32 — per-frame landmark association
+    kp_birth: jax.Array  # (B, K) int32 — allocation guard for kp_to_point.
+    # The loop-closure DB stores each keyframe's map points through these
+    # (multi-view landmark positions), not the one-pair triangulations:
+    # pair-depth noise measured bad enough to break relocalization's
+    # depth-ratio scale (bimodal stored/unit ratios 1.0-4.2 on a fixture
+    # frame whose landmark depths were clean).
 
 
 def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
@@ -260,11 +270,13 @@ def pnp_track_chunk(
             prev_xy=xy,
         )
         out = (T_cur, pnp_ok, n_inl, s_used,
-               jnp.sum(alive.astype(jnp.int32)), need_ransac)
+               jnp.sum(alive.astype(jnp.int32)), need_ransac, m.point_count,
+               a2.kp_to_point, a2.kp_birth)
         return (m5, a2, T_cur), out
 
     (m_out, a_out, T_last), (
-        poses, pnp_ok, n_inl, scale, n_assoc, used_ransac
+        poses, pnp_ok, n_inl, scale, n_assoc, used_ransac, point_count0,
+        kp_to_point, kp_birth,
     ) = jax.lax.scan(
         step,
         (m, assoc, T_prev0),
@@ -289,6 +301,8 @@ def pnp_track_chunk(
         TrackChunkResult(
             poses=poses, pnp_ok=pnp_ok, num_pnp_inliers=n_inl, scale=scale,
             num_assoc=n_assoc, used_ransac=used_ransac,
+            point_count0=point_count0,
+            kp_to_point=kp_to_point, kp_birth=kp_birth,
         ),
         m_out,
         a_out,
