@@ -24,8 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuslam.frontend.brief import gaussian_kernel
 from tpuslam.frontend.fast import CIRCLE_OFFSETS
 
+import os
+
 HALO = 8  # covers FAST radius 3 + blur radius 2; keeps DMA slices 8-row aligned
-BLOCK_H = 64
+BLOCK_H = int(os.environ.get("TPUSLAM_FRONTEND_BLOCK_H", "64"))
 
 
 def _frontend_kernel(
@@ -161,6 +163,35 @@ def fused_frontend_batch(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(padded)
+
+    if os.environ.get("TPUSLAM_FRONTEND_DOUBLE"):  # measurement aid only:
+        # run the kernel a second time on a perturbed input and fold a
+        # zero-valued function of its output in, so CSE/DCE cannot remove
+        # it — the end-to-end FPS delta is the kernel's true cost.
+        b2, c2, s2 = pl.pallas_call(
+            kernel,
+            grid=(bsz, n_blocks),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (1, BLOCK_H, wp), lambda b, i: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(3)
+            ),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_H + 2 * HALO, wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(padded + jnp.uint8(1))
+        zero = (
+            jax.lax.optimization_barrier(s2[0, 0, 0]) * 0
+        ).astype(jnp.int32)
+        score = score + zero
 
     blur = jax.lax.slice(blur, (0, 0, HALO), (bsz, h, HALO + w))
     corner = jax.lax.slice(corner, (0, 0, HALO), (bsz, h, HALO + w)).astype(bool)
