@@ -122,6 +122,14 @@ class SlamPipeline:
     tracking: str = "vo"
     map_window: int = 8
     max_map_points: int = 8192
+    # Motion-model GN rounds in the per-frame PnP tracking scan (each
+    # round is ~65 µs of its sequential spine; see model/tracking.py).
+    # 3 rounds (16→8→2 px Huber anneal) measured behaviour-identical to 4
+    # on the bench clip — same pose_ok/inlier/used_ransac/absolute_ok
+    # stats to the frame — at +0.6 ms/chunk; the inlier-fraction/coverage
+    # gates + RANSAC fallback bound the damage if a hard frame ever needs
+    # the extra round (it then pays the cond, not accuracy).
+    pnp_gn_iters: int = 3
 
     def __post_init__(self) -> None:
         if self.tracking not in ("vo", "pnp"):
@@ -411,6 +419,7 @@ class SlamPipeline:
             point_ok,
             gate_px=self.config.map.assoc_gate_px,
             min_cand_depth=self.config.map.min_candidate_depth,
+            gn_iters=self.pnp_gn_iters,
         )
 
         n_real = jnp.sum(frame_valid.astype(jnp.int32))

@@ -149,20 +149,19 @@ class SlamSystem:
 
     # --- shared backend stages --------------------------------------------------
     def _lc_chunk(self, db, fids, kf_enabled, result, key2, B, m=None):
-        mp, mpv = _map_points_per_keypoint(
-            result.kps_valid, result.m_train, result.point_ok, result.points3d
-        )
         if m is not None and result.pnp_kp_to_point is not None:
             # PnP mode: the DB stores each keyframe's MAP LANDMARK
             # positions (multi-view, BA-refined, world → that frame's
-            # camera) wherever the keypoint is associated, with the pair
-            # triangulation only as fallback for unassociated keypoints.
-            # One-pair depths carry enough noise to break relocalization's
-            # depth-ratio scale (measured: stored/unit ratios spread
-            # 1.0-4.2 on one keyframe, snapping a relocalized frame 1.8
-            # units short); landmark depths are the reference's actual
-            # intent for ``KeyframeData::mapPoints``
-            # (``loop_closure.cpp:96-109``).
+            # camera).  One-pair triangulated depths carry enough noise to
+            # break relocalization's depth-ratio scale (measured:
+            # stored/unit ratios spread 1.0-4.2 on one keyframe, snapping
+            # a relocalized frame 1.8 units short); landmark depths are
+            # the reference's actual intent for ``KeyframeData::mapPoints``
+            # (``loop_closure.cpp:96-109``).  No pair-triangulation
+            # fallback: every keypoint the pair path would cover is also
+            # associated (new points get their slot at insert — measured
+            # pair-only coverage 0 on every fixture frame), so the vmapped
+            # per-keypoint scatter is pure cost here.
             slot = jnp.maximum(result.pnp_kp_to_point, 0)  # (B, K)
             okp = (
                 (result.pnp_kp_to_point >= 0)
@@ -174,8 +173,13 @@ class SlamSystem:
             R_cw = jnp.swapaxes(result.poses[:, :3, :3], -1, -2)  # (B,3,3)
             C = result.poses[:, :3, 3]  # (B, 3)
             Xc = jnp.einsum("bij,bkj->bki", R_cw, X - C[:, None, :])
-            mp = jnp.where(okp[..., None], Xc, mp)
-            mpv = okp | mpv
+            mp = jnp.where(okp[..., None], Xc, 0.0)
+            mpv = okp
+        else:
+            mp, mpv = _map_points_per_keypoint(
+                result.kps_valid, result.m_train, result.point_ok,
+                result.points3d,
+            )
         return self.loop_closure._process_chunk_impl(
             db, fids, kf_enabled, result.desc, result.kps_xy,
             result.kps_valid, mp, mpv, self._K, jax.random.split(key2, B),

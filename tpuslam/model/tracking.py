@@ -76,6 +76,7 @@ def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
     static_argnames=(
         "pnp_hypotheses", "pnp_min_inliers", "pnp_min_inlier_frac",
         "pnp_min_coverage", "gate_px", "min_cand_depth", "unroll",
+        "gn_iters",
     ),
 )
 def pnp_track_chunk(
@@ -104,6 +105,7 @@ def pnp_track_chunk(
     gate_px: float = 8.0,
     min_cand_depth: float = 0.2,
     unroll: int = 1,
+    gn_iters: int = 4,
 ) -> tuple[TrackChunkResult, MapState, AssocState, jax.Array]:
     """Track a chunk of frames against the map; returns poses + new state.
 
@@ -155,9 +157,13 @@ def pnp_track_chunk(
         # (M,)-sized correspondence arrays cross the branch boundary.
         T_seed = jnp.where(vok & fv, T_fb, T_prev)
         R_cw_s = jnp.swapaxes(T_seed[:3, :3], 0, 1)
+        # Annealed Huber schedule always ends at the 2 px gate width;
+        # fewer rounds start the anneal narrower.
+        schedule = (16.0, 8.0, 4.0, 2.0)[: gn_iters - 1] + (2.0,)
         gn = motion_pnp(
             K, R_cw_s, -R_cw_s @ T_seed[:3, 3], X_map, uv_cur, alive,
-            iters=4, min_inliers=pnp_min_inliers,
+            iters=gn_iters, min_inliers=pnp_min_inliers,
+            huber_schedule=schedule,
         )
 
         # A PnP solve that explains only a small fraction of the live
