@@ -76,14 +76,14 @@ def _staged(frames: np.ndarray):
     return frames_d
 
 
-def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3, 4, 5)) -> float:
+def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3, 4, 5, 6, 7)) -> float:
     """Median of several fresh-keys timed dispatches.
 
     A single dispatch through the remote tunnel varies by ±10-30% run to
     run (enough that round 2's official capture read 493 FPS against
-    builder runs of 517 on the same protocol); the median of five is
+    builder runs of 517 on the same protocol); the median of seven is
     stable to a few percent (three still drew ±25 FPS between combined
-    runs — each extra dispatch costs ~0.2 s, so five is cheap insurance
+    runs — each extra dispatch costs ~0.2 s, so seven is cheap insurance
     for a scoreboard number).  Each dispatch uses a DIFFERENT PRNG seed so
     the axon client's result cache can never serve a repeat (BASELINE.md
     "measurement warning") — the program shape is identical, only key
@@ -141,7 +141,7 @@ def measure_pnp(frames_d) -> float:
     state = pipeline.initial_pnp_state()
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
     chunk_valid = jax.numpy.ones((chunks_d.shape[0], BATCH), bool)
-    # Fresh keys per dispatch, median of 3 (see measure_vo / _median_fps).
+    # Fresh keys per dispatch (see measure_vo / _median_fps).
     def dispatch(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), chunks_d.shape[0])
         r, s = pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, keys)

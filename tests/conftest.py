@@ -47,3 +47,21 @@ def kitti_frames(data_dir):
         frames.append(np.asarray(im, dtype=np.uint8))
     assert len(frames) == 10
     return frames
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Reset jax's in-process compilation caches after each test module.
+
+    The XLA CPU compiler segfaulted (reproducibly, same test) compiling
+    the PnP-relocalization sequence program ~140 compilations into a full
+    suite run, while the same test compiles and passes standalone — a
+    state-dependent compiler crash, not a code or memory issue (125 GB
+    free at the time).  Clearing per-module keeps any single process's
+    compiler state bounded; within-module caching (where reuse actually
+    happens) is unaffected.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

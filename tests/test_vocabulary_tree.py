@@ -110,3 +110,24 @@ def test_shipped_tree_vocabulary_loads():
     v = Vocabulary.load(Path(__file__).parent.parent / "configs" / "vocabulary_tree.npz")
     assert v.coarse is not None
     assert v.num_words == 4096
+
+
+def test_eval_vocabulary_harness_runs():
+    """The retrieval-quality harness evaluates the shipped vocabularies
+    and reports the loop-ranking / false-candidate metrics."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from pathlib import Path
+
+    from eval_vocabulary import evaluate
+    from tpuslam.config.schema import LoopClosureConfig
+
+    repo = Path(__file__).parent.parent
+    lc_cfg = LoopClosureConfig.from_yaml(repo / "configs" / "loop_closure.yml")
+    out = evaluate(repo / "configs" / "vocabulary_tree.npz", lc_cfg)
+    assert out["words"] == 4096 and out["tree"]
+    assert len(out["loops"]) == 2
+    # the shipped tree ranks the reference's own loop fixture correctly
+    # (test_loop_closure.cpp:81-83 oracle: last frame of loop2 -> frame 0)
+    assert out["loops"][1]["rank0_correct"]
+    assert 0.0 <= out["forward_false_candidate_rate"] <= 1.0

@@ -37,7 +37,12 @@ import numpy as np
 
 from tpuslam.backend.ba import bundle_adjust
 from tpuslam.backend.loop_closure import LoopClosure
-from tpuslam.backend.map import empty_assoc, empty_map, update_map_chunk
+from tpuslam.backend.map import (
+    empty_assoc,
+    empty_map,
+    update_map_chunk,
+    update_map_chunk_batched,
+)
 from tpuslam.backend.vocabulary import Vocabulary
 from tpuslam.common.camera import Camera
 from tpuslam.config.schema import SlamConfig
@@ -109,6 +114,12 @@ class SlamSystem:
     enable_loop_closure: bool = True
     enable_ba: bool = True
     enable_pose_graph: bool = True
+    # VO-mode map fold: the chunk-batched rebuild (scan-oracle-equal,
+    # tests/test_map_batched.py) instead of the per-frame scan whose
+    # every-frame (W, P) observation-row rebuilds are mostly overwritten
+    # within the same chunk (measured 3.4 ms/chunk standalone — the
+    # largest non-VO line of SLAM mode).  False = the per-frame oracle.
+    use_batched_map: bool = True
     # Global relocalization (both modes): frames that lose tracking query
     # the keyframe DB by BoW (no temporal gates) and, on geometric
     # verification, snap to an absolute pose anchored at the matched
@@ -477,7 +488,12 @@ class SlamSystem:
                     )
                     vo2 = vo2._replace(pose=M_last @ vo2.pose)
                 kf_mask = ((fids % kfi) == 0) & valid
-                m2, a2 = update_map_chunk(
+                map_fold = (
+                    update_map_chunk_batched
+                    if self.use_batched_map
+                    else update_map_chunk
+                )
+                m2, a2 = map_fold(
                     m, a, K, fids, kf_mask, result.poses, result.pose_ok,
                     result.kps_xy, result.m_query, result.m_train,
                     result.m_valid, result.points3d, result.point_ok,
@@ -812,7 +828,12 @@ class SlamSystem:
             if pnp_mode:
                 world_map = state.map
             else:
-                world_map, assoc = update_map_chunk(
+                map_fold = (
+                    update_map_chunk_batched
+                    if self.use_batched_map
+                    else update_map_chunk
+                )
+                world_map, assoc = map_fold(
                     world_map,
                     assoc,
                     self._K,
