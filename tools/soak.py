@@ -71,6 +71,7 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=1536)
     parser.add_argument("--policy", default=None,
                         help="override EvictionPolicy (fifo|redundancy)")
+    parser.add_argument("--tracking", default="vo", choices=("vo", "pnp"))
     parser.add_argument("--vocabulary", default="configs/vocabulary_tree.npz")
     args = parser.parse_args()
 
@@ -95,6 +96,7 @@ def main() -> int:
         )
     system = SlamSystem(
         camera, config, vocabulary=REPO_ROOT / args.vocabulary,
+        tracking=args.tracking,
     )
 
     t0 = time.time()
@@ -120,6 +122,7 @@ def main() -> int:
             (lp["frame_id"], lp["matched_keyframe_id"]) for lp in revisit_loops[:6]
         ],
         "policy": config.loop_closure.eviction_policy,
+        "tracking": args.tracking,
         "vocabulary": args.vocabulary,
     }
     print(json.dumps(report))

@@ -132,6 +132,11 @@ class LoopClosure:
         to ``kp_valid`` — the reference stores a 3D point for every keypoint,
         ``loop_closure.cpp:96-109``).  ``pose`` is the keyframe's T_world_cam
         (the relocalization anchor; defaults to identity).
+
+        Note: this single-keyframe API always recycles FIFO on overflow;
+        the production chunk path (``process_chunk``) applies the
+        configured ``EvictionPolicy`` (redundancy-aware by default) —
+        long-past-capacity workloads should use the chunk path.
         """
         if mp_valid is None:
             mp_valid = kp_valid
