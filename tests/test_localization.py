@@ -1,0 +1,114 @@
+"""Localization-only mode: track against a frozen, prebuilt map.
+
+The reference's architecture implies this capability (persistent ``Map`` +
+keyframe database) but never builds it.  Contract under test: a map+DB
+from a mapping run can be loaded and tracked against with ZERO mutation —
+no inserts, no BA — with relocalization bootstrapping an unknown start
+pose from frame 0 against the loaded DB.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpuslam.common.camera import Camera
+from tpuslam.config.schema import (
+    DetectorConfig,
+    MatcherConfig,
+    PoseConfig,
+    SlamConfig,
+)
+from tpuslam.model.system import SlamSystem
+from tpuslam.pre.stream import FrameStream
+
+CONFIGS = Path(__file__).parent.parent / "configs"
+
+
+@pytest.fixture(scope="module")
+def mapping_result():
+    cam = Camera.from_yaml(CONFIGS / "camera.yml")
+    cfg = SlamConfig(
+        detector=DetectorConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio_test_threshold=0.8),
+        pose=PoseConfig(num_hypotheses=1024, inlier_threshold_px=2.0),
+        batch_size=5,
+    )
+    stream = FrameStream(Path(__file__).parent / "data" / "images")
+    frames = np.stack(
+        [stream.read_frame(i)[0] for i in range(stream.total_frames)]
+    )
+    system = SlamSystem(
+        cam, cfg, vocabulary=CONFIGS / "vocabulary.npz", tracking="pnp",
+        enable_pose_graph=False,
+    )
+    out = system.run_sequence(frames, seed=0)
+    return cam, cfg, frames, out
+
+
+def _loc_system(cam, cfg):
+    return SlamSystem(
+        cam, cfg, vocabulary=CONFIGS / "vocabulary.npz", tracking="pnp",
+        localization_only=True, enable_pose_graph=False,
+    )
+
+
+def test_localization_requires_pnp_and_warm_start(mapping_result):
+    cam, cfg, frames, out = mapping_result
+    with pytest.raises(ValueError, match="pnp"):
+        SlamSystem(
+            cam, cfg, vocabulary=CONFIGS / "vocabulary.npz",
+            localization_only=True,
+        )
+    with pytest.raises(ValueError, match="warm_start"):
+        _loc_system(cam, cfg).run_sequence(frames[:5], seed=1)
+
+
+def test_localization_tracks_frozen_map(mapping_result):
+    cam, cfg, frames, out = mapping_result
+    loc = _loc_system(cam, cfg)
+    warm = {"map": out["map"], "db": out["db"]}
+    res = loc.run_sequence(frames, seed=1, warm_start=warm)
+
+    # trajectory reproduces the mapping run (same world frame, absolute
+    # tracking against the same landmarks)
+    err = np.linalg.norm(
+        res["poses"][2:, :3, 3] - out["poses"][2:, :3, 3], axis=1
+    )
+    assert err.max() < 0.5, err
+    assert res["pose_ok"][1:].all()
+
+    # the map was NOT touched: bit-equal buffers
+    for field in ("points", "point_valid", "point_birth", "kf_R", "kf_t",
+                  "kf_id", "kf_valid", "obs_uv", "obs_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res["map"], field)),
+            np.asarray(getattr(out["map"], field)),
+            err_msg=field,
+        )
+    # the DB was not touched either
+    np.testing.assert_array_equal(
+        np.asarray(res["db"].ids), np.asarray(out["db"].ids)
+    )
+    assert int(res["db"].count) == int(out["db"].count)
+
+
+def test_localization_bootstraps_from_unknown_start(mapping_result):
+    """Start mid-sequence: frame 0 of the localization run is frame 3 of
+    the map — relocalization against the loaded DB must lock in, and the
+    trajectory must land in the MAP's world frame."""
+    cam, cfg, frames, out = mapping_result
+    loc = _loc_system(cam, cfg)
+    warm = {"map": out["map"], "db": out["db"]}
+    res = loc.run_sequence(frames[3:], seed=2, warm_start=warm)
+
+    assert res["reloc_ok"].any() or res["pose_ok"][0], (
+        "neither relocalization nor direct PnP locked in"
+    )
+    # after lock-in, positions match the mapping trajectory's tail
+    err = np.linalg.norm(
+        res["poses"][2:, :3, 3] - out["poses"][5:, :3, 3], axis=1
+    )
+    assert err.max() < 0.6, err

@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
                              "mesh, stitched by Sim(3) over the overlaps "
                              "(VO tracking only; N must not exceed the "
                              "device count)")
+    parser.add_argument("--localize", default=None, metavar="CKPT",
+                        help="localization-only mode: load the map + "
+                             "keyframe DB from a --save-state checkpoint "
+                             "of a --slam --tracking pnp run and track the "
+                             "stream against them FROZEN (no inserts, no "
+                             "BA); an unknown start pose bootstraps by "
+                             "relocalization against the loaded DB")
     parser.add_argument("--plot", default=None,
                         help="write a top-down trajectory plot PNG")
     parser.add_argument("--debug", action="store_true")
@@ -90,6 +97,53 @@ def main(argv: list[str] | None = None) -> int:
     config = SlamConfig.from_yaml_dir(
         cfg_dir, frame_skip=args.frame_skip, batch_size=args.batch_size
     )
+    if args.localize:
+        if args.slam or args.resume or args.save_state or args.timeshard:
+            parser.error("--localize is its own mode (no --slam/--resume/"
+                         "--save-state/--timeshard)")
+        import numpy as np
+
+        from tpuslam.model.system import SlamSystem
+        from tpuslam.utils.checkpoint import load_state
+
+        vocab = args.vocabulary or (cfg_dir / "vocabulary.npz")
+        system = SlamSystem(
+            camera, config, vocabulary=vocab, tracking="pnp",
+            localization_only=True,
+        )
+        loaded = load_state(args.localize, slam=system.checkpoint_template())
+        warm = {
+            "map": loaded["slam"]["world_map"],
+            "db": loaded["slam"]["db"],
+        }
+        stream = FrameStream(args.stream, frame_skip=args.frame_skip)
+        indices = stream.frame_indices()
+        if args.max_frames:
+            indices = indices[: args.max_frames]
+        frames = np.stack([stream.read_frame(i)[0] for i in indices])
+        log.info(
+            "Localization-only: %d frames against the frozen map/DB of %s",
+            len(frames), args.localize,
+        )
+        t0 = time.time()
+        res = system.run_sequence(frames, warm_start=warm)
+        dt = time.time() - t0
+        save_kitti_trajectory(res["poses"], args.output)
+        log.info("Trajectory written to %s", args.output)
+        if args.plot:
+            from tpuslam.post.visualizer import plot_trajectory
+
+            plot_trajectory(res["poses"], args.plot)
+        if args.stats:
+            print(json.dumps({
+                "frames": int(len(frames)),
+                "seconds": dt,
+                "fps": len(frames) / dt,
+                "pose_ok": int(np.asarray(res["pose_ok"]).sum()),
+                "relocalizations": int(np.asarray(res["reloc_ok"]).sum()),
+            }))
+        return 0
+
     if args.slam:
         from tpuslam.model.system import SlamSystem
 

@@ -130,6 +130,9 @@ class SlamPipeline:
     # gates + RANSAC fallback bound the damage if a hard frame ever needs
     # the extra round (it then pays the cond, not accuracy).
     pnp_gn_iters: int = 3
+    # Localization-only: the map is a loaded immutable reference (no
+    # inserts) — see model/tracking.py freeze_map.
+    freeze_map: bool = False
 
     def __post_init__(self) -> None:
         if self.tracking not in ("vo", "pnp"):
@@ -420,6 +423,7 @@ class SlamPipeline:
             gate_px=self.config.map.assoc_gate_px,
             min_cand_depth=self.config.map.min_candidate_depth,
             gn_iters=self.pnp_gn_iters,
+            freeze_map=self.freeze_map,
         )
 
         n_real = jnp.sum(frame_valid.astype(jnp.int32))

@@ -134,16 +134,34 @@ class SlamSystem:
     # the map-frame consistency question that round 3 left open.
     enable_relocalization: bool = True
     reloc_budget: int = 2
+    # Localization-only mode (tracking="pnp"): track against a loaded,
+    # FROZEN map+DB — no landmark/keyframe inserts, no BA, projection-
+    # based data association (model/tracking.py freeze_map), and
+    # relocalization allowed from frame 0 (the bootstrap: an unseen start
+    # pose locks in by BoW against the loaded keyframe DB).  Pass the
+    # loaded state via ``run_sequence(..., warm_start={"map":…, "db":…})``
+    # (a previous run's checkpoint carries both).  Capability with no
+    # reference counterpart — its architecture implies it (persistent
+    # ``Map`` + keyframe DB) but nothing was ever built.
+    localization_only: bool = False
 
     def __post_init__(self) -> None:
         if self.tracking not in ("vo", "pnp"):
             raise ValueError(f"unknown tracking mode {self.tracking!r}")
+        if self.localization_only:
+            if self.tracking != "pnp":
+                raise ValueError(
+                    "localization_only requires tracking='pnp' (the "
+                    "map-centric tracker)"
+                )
+            self.enable_ba = False  # nothing to optimise on a frozen map
         self.pipeline = SlamPipeline(
             self.camera,
             self.config,
             tracking=self.tracking,
             map_window=self.ba_window,
             max_map_points=self.max_map_points,
+            freeze_map=self.localization_only,
         )
         self._K = jnp.asarray(self.camera.K, jnp.float32)
         self.loop_closure = None
@@ -274,7 +292,12 @@ class SlamSystem:
         carried state).
         """
         B = result.poses.shape[0]
-        need = valid & ~result.pose_ok & (fids > 0)
+        need = valid & ~result.pose_ok
+        if not self.localization_only:
+            # Frame 0 of a fresh mapping run has an empty DB; in
+            # localization mode the loaded DB is exactly what frame 0
+            # must bootstrap against.
+            need = need & (fids > 0)
         eyeB = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
 
         def do_reloc(_):
@@ -302,33 +325,39 @@ class SlamSystem:
                 live[:, None, None], Msnap[jnp.clip(last_snap, 0)], eyeB
             )
 
-            # --- re-anchor landmarks born at corrected frames -------------
-            birth = m.point_birth  # (P,)
-            count0 = result.pnp_point_count0  # (B,)
-            fidx = (
-                jnp.sum(
-                    (birth[:, None] >= count0[None, :]).astype(jnp.int32),
-                    axis=1,
+            if self.localization_only:
+                # The loaded map is immutable (nothing was inserted, and
+                # its kf_id values are OLD frame ids that may collide with
+                # the current fid range) — corrections touch poses only.
+                points2, kf_R2, kf_t2 = m.points, m.kf_R, m.kf_t
+            else:
+                # --- re-anchor landmarks born at corrected frames ---------
+                birth = m.point_birth  # (P,)
+                count0 = result.pnp_point_count0  # (B,)
+                fidx = (
+                    jnp.sum(
+                        (birth[:, None] >= count0[None, :]).astype(jnp.int32),
+                        axis=1,
+                    )
+                    - 1
+                )  # (P,) owning frame, −1 = born before this chunk
+                Mp = M[jnp.clip(fidx, 0, B - 1)]  # (P, 4, 4)
+                corr_pt = (fidx >= 0) & m.point_valid
+                pts = (
+                    jnp.einsum("pij,pj->pi", Mp[:, :3, :3], m.points)
+                    + Mp[:, :3, 3]
                 )
-                - 1
-            )  # (P,) owning frame, −1 = born before this chunk
-            Mp = M[jnp.clip(fidx, 0, B - 1)]  # (P, 4, 4)
-            corr_pt = (fidx >= 0) & m.point_valid
-            pts = (
-                jnp.einsum("pij,pj->pi", Mp[:, :3, :3], m.points)
-                + Mp[:, :3, 3]
-            )
-            points2 = jnp.where(corr_pt[:, None], pts, m.points)
+                points2 = jnp.where(corr_pt[:, None], pts, m.points)
 
-            # --- re-anchor keyframe-window rows inserted this chunk -------
-            kidx = m.kf_id - fids[0]  # (W,)
-            in_chunk = (kidx >= 0) & (kidx < B) & m.kf_valid
-            Mk = M[jnp.clip(kidx, 0, B - 1)]  # (W, 4, 4)
-            MkRT = jnp.swapaxes(Mk[:, :3, :3], -1, -2)
-            R2 = jnp.matmul(m.kf_R, MkRT, precision="highest")
-            t2 = m.kf_t - jnp.einsum("wij,wj->wi", R2, Mk[:, :3, 3])
-            kf_R2 = jnp.where(in_chunk[:, None, None], R2, m.kf_R)
-            kf_t2 = jnp.where(in_chunk[:, None], t2, m.kf_t)
+                # --- re-anchor keyframe-window rows inserted this chunk ---
+                kidx = m.kf_id - fids[0]  # (W,)
+                in_chunk = (kidx >= 0) & (kidx < B) & m.kf_valid
+                Mk = M[jnp.clip(kidx, 0, B - 1)]  # (W, 4, 4)
+                MkRT = jnp.swapaxes(Mk[:, :3, :3], -1, -2)
+                R2 = jnp.matmul(m.kf_R, MkRT, precision="highest")
+                t2 = m.kf_t - jnp.einsum("wij,wj->wi", R2, Mk[:, :3, 3])
+                kf_R2 = jnp.where(in_chunk[:, None, None], R2, m.kf_R)
+                kf_t2 = jnp.where(in_chunk[:, None], t2, m.kf_t)
 
             return (
                 M @ result.poses,
@@ -471,8 +500,12 @@ class SlamSystem:
                     )
                 # every valid tracked frame is a keyframe in PnP mode
                 # (kf_enabled AFTER relocalization: rescued frames insert
-                # their corrected poses into the DB)
-                kf_enabled = valid & (result.pose_ok | (fids == 0))
+                # their corrected poses into the DB); localization mode
+                # never inserts — the loaded DB is the frozen reference
+                if self.localization_only:
+                    kf_enabled = jnp.zeros(B, bool)
+                else:
+                    kf_enabled = valid & (result.pose_ok | (fids == 0))
                 m2 = st2.map
             else:
                 vo, m, a, db, since_ba = carry
@@ -539,13 +572,23 @@ class SlamSystem:
         carry, outs = jax.lax.scan(step, carry0, (chunks, chunk_valid, keys))
         return carry, outs
 
-    def run_sequence(self, frames: np.ndarray, seed: int = 0) -> dict:
+    def run_sequence(
+        self,
+        frames: np.ndarray,
+        seed: int = 0,
+        warm_start: dict | None = None,
+    ) -> dict:
         """One-dispatch SLAM over a pre-staged (N, H, W) frame array.
 
         The throughput path (``bench.py --slam``): frames are transferred
         once, the whole sequence executes as a single device program, and
         results convert to host once.  ``run()`` remains the streaming
         driver for unbounded sequences.
+
+        ``warm_start``: optional ``{"map": MapState, "db": KeyframeDB}``
+        to start from prebuilt state (e.g. a previous run's checkpoint) —
+        required input for ``localization_only`` mode, useful for
+        map-reuse in general.
         """
         B = self.config.batch_size
         n = len(frames)
@@ -568,16 +611,29 @@ class SlamSystem:
             if self.loop_closure is not None
             else jnp.zeros(())
         )
+        if warm_start is not None and "db" in warm_start:
+            db = warm_start["db"]
+        if self.localization_only and (
+            warm_start is None or "map" not in warm_start
+        ):
+            raise ValueError(
+                "localization_only needs warm_start={'map':…, 'db':…} "
+                "(a previous run's checkpoint carries both)"
+            )
         if self.tracking == "pnp":
+            st0 = self.pipeline.initial_pnp_state()
+            if warm_start is not None and "map" in warm_start:
+                st0 = st0._replace(map=warm_start["map"])
             carry0 = (
-                self.pipeline.initial_pnp_state(),
+                st0,
                 db,
                 jnp.asarray(0, jnp.int32),
             )
         else:
             carry0 = (
                 self.pipeline.initial_state(),
-                empty_map(self.ba_window, self.max_map_points),
+                warm_start["map"] if warm_start and "map" in warm_start
+                else empty_map(self.ba_window, self.max_map_points),
                 empty_assoc(self.config.detector.max_keypoints),
                 db,
                 jnp.asarray(0, jnp.int32),
@@ -637,6 +693,7 @@ class SlamSystem:
             "loops": loops,
             "ba_events": ba_events,
             "map": carry[0].map if self.tracking == "pnp" else carry[1],
+            "db": carry[1] if self.tracking == "pnp" else carry[3],
             "pose_graph_applied": pose_graph_applied,
             "num_matches": np.asarray(outs["num_matches"]).reshape(-1)[:n],
             "num_inliers": np.asarray(outs["num_inliers"]).reshape(-1)[:n],

@@ -76,7 +76,7 @@ def _pose_from_rt(R_cw: jax.Array, t_cw: jax.Array) -> jax.Array:
     static_argnames=(
         "pnp_hypotheses", "pnp_min_inliers", "pnp_min_inlier_frac",
         "pnp_min_coverage", "gate_px", "min_cand_depth", "unroll",
-        "gn_iters",
+        "gn_iters", "freeze_map", "loc_assoc_radius_px",
     ),
 )
 def pnp_track_chunk(
@@ -106,12 +106,20 @@ def pnp_track_chunk(
     min_cand_depth: float = 0.2,
     unroll: int = 1,
     gn_iters: int = 4,
+    freeze_map: bool = False,
+    loc_assoc_radius_px: float = 48.0,
 ) -> tuple[TrackChunkResult, MapState, AssocState, jax.Array]:
     """Track a chunk of frames against the map; returns poses + new state.
 
     Every valid frame becomes a keyframe in the sliding window (the map is
     the tracking reference, so it must stay current).  Returns
     ``(result, map, assoc, T_last)``.
+
+    ``freeze_map=True`` is localization-only mode: the map is a loaded,
+    immutable reference — no point/keyframe/observation inserts — while
+    landmark association still chains through re-observations (the
+    association carry never needs new points to keep tracking against a
+    complete prebuilt map).
     """
 
     def step(carry, xs):
@@ -122,15 +130,42 @@ def pnp_track_chunk(
         tc = jnp.maximum(t, 0)
         uv_cur = xy[tc]
 
-        # --- landmark association via the previous frame's keypoints --------
-        cand_slot = a.kp_to_point[qc]
-        cand_birth = a.kp_birth[qc]
-        alive = (
-            mv
-            & (cand_slot >= 0)
-            & (m.point_birth[jnp.maximum(cand_slot, 0)] == cand_birth)
-            & m.point_valid[jnp.maximum(cand_slot, 0)]
-        )
+        if freeze_map:
+            # --- projection association against the frozen map --------------
+            # No inserts means no match-chain to inherit links from; instead
+            # project every valid landmark with the previous pose and take
+            # the nearest projection within a radius (classic visible-point
+            # data association; the Huber-IRLS solve + inlier gates absorb
+            # the mis-associations a descriptorless radius test lets in).
+            R_cw_p0 = jnp.swapaxes(T_prev[:3, :3], 0, 1)
+            t_cw_p0 = -R_cw_p0 @ T_prev[:3, 3]
+            Xc_all = m.points @ R_cw_p0.T + t_cw_p0  # (P, 3)
+            z_all = Xc_all[:, 2]
+            pixp = Xc_all @ K.T
+            uvp = pixp[:, :2] / jnp.maximum(pixp[:, 2:3], 1e-9)
+            proj_ok = m.point_valid & (z_all > min_cand_depth)
+            d2 = (
+                jnp.sum(uv_cur**2, axis=1)[:, None]
+                + jnp.sum(uvp**2, axis=1)[None, :]
+                - 2.0 * jnp.matmul(uv_cur, uvp.T, precision="highest")
+            )
+            d2 = jnp.where(proj_ok[None, :], d2, jnp.inf)
+            nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            nd2 = jnp.take_along_axis(d2, nearest[:, None], 1)[:, 0]
+            found = mv & (nd2 < loc_assoc_radius_px * loc_assoc_radius_px)
+            cand_slot = jnp.where(found, nearest, -1)
+            cand_birth = m.point_birth[jnp.maximum(cand_slot, 0)]
+            alive = found
+        else:
+            # --- landmark association via the previous frame's keypoints ----
+            cand_slot = a.kp_to_point[qc]
+            cand_birth = a.kp_birth[qc]
+            alive = (
+                mv
+                & (cand_slot >= 0)
+                & (m.point_birth[jnp.maximum(cand_slot, 0)] == cand_birth)
+                & m.point_valid[jnp.maximum(cand_slot, 0)]
+            )
         X_map = m.points[jnp.maximum(cand_slot, 0)]  # (M, 3) world
 
         # --- fallback / seed: two-view pose at map-anchored scale ------------
@@ -223,6 +258,8 @@ def pnp_track_chunk(
 
         # --- map update (same gating as update_map_chunk) --------------------
         enabled = fv & ((pnp_ok | vok) | (m.kf_count == 0))
+        if freeze_map:
+            enabled = jnp.zeros_like(enabled)
         R_cw_c = jnp.swapaxes(T_cur[:3, :3], 0, 1)
         Xc_cand = (X_map - T_cur[:3, 3][None, :]) @ R_cw_c.T
         z_cand = Xc_cand[:, 2]
