@@ -130,42 +130,60 @@ def pnp_track_chunk(
         tc = jnp.maximum(t, 0)
         uv_cur = xy[tc]
 
+        # --- landmark association via the previous frame's keypoints --------
+        cand_slot = a.kp_to_point[qc]
+        cand_birth = a.kp_birth[qc]
+        alive = (
+            mv
+            & (cand_slot >= 0)
+            & (m.point_birth[jnp.maximum(cand_slot, 0)] == cand_birth)
+            & m.point_valid[jnp.maximum(cand_slot, 0)]
+        )
         if freeze_map:
-            # --- projection association against the frozen map --------------
-            # No inserts means no match-chain to inherit links from; instead
-            # project every valid landmark with the previous pose and take
-            # the nearest projection within a radius (classic visible-point
-            # data association; the Huber-IRLS solve + inlier gates absorb
-            # the mis-associations a descriptorless radius test lets in).
-            R_cw_p0 = jnp.swapaxes(T_prev[:3, :3], 0, 1)
-            t_cw_p0 = -R_cw_p0 @ T_prev[:3, 3]
-            Xc_all = m.points @ R_cw_p0.T + t_cw_p0  # (P, 3)
-            z_all = Xc_all[:, 2]
-            pixp = Xc_all @ K.T
-            uvp = pixp[:, :2] / jnp.maximum(pixp[:, 2:3], 1e-9)
-            proj_ok = m.point_valid & (z_all > min_cand_depth)
-            d2 = (
-                jnp.sum(uv_cur**2, axis=1)[:, None]
-                + jnp.sum(uvp**2, axis=1)[None, :]
-                - 2.0 * jnp.matmul(uv_cur, uvp.T, precision="highest")
+            # --- projection refresh against the frozen map ------------------
+            # The match-chain association above still works on a frozen map
+            # (links form at the a2 write below, no inserts needed), but it
+            # can only RETAIN landmarks — never acquire them — so it decays
+            # and cannot bootstrap.  When coverage drops below the PnP
+            # coverage floor, refresh under a real cond: project every
+            # valid landmark with the previous pose and take the nearest
+            # projection within a radius (classic visible-point data
+            # association; the Huber-IRLS solve + inlier gates absorb what
+            # a descriptorless radius test lets in).  The (M, P) table
+            # costs ~1 ms/frame, so it must not run on healthy frames
+            # (measured: always-on projection read 317 FPS vs ~500+ for
+            # the cond form).
+            n_match_f = jnp.sum(mv.astype(jnp.int32)).astype(jnp.float32)
+            need_refresh = jnp.sum(alive.astype(jnp.int32)).astype(
+                jnp.float32
+            ) < (pnp_min_coverage * jnp.maximum(n_match_f, 1.0))
+
+            def _proj_assoc(_):
+                R_cw_p0 = jnp.swapaxes(T_prev[:3, :3], 0, 1)
+                t_cw_p0 = -R_cw_p0 @ T_prev[:3, 3]
+                Xc_all = m.points @ R_cw_p0.T + t_cw_p0  # (P, 3)
+                z_all = Xc_all[:, 2]
+                pixp = Xc_all @ K.T
+                uvp = pixp[:, :2] / jnp.maximum(pixp[:, 2:3], 1e-9)
+                proj_ok = m.point_valid & (z_all > min_cand_depth)
+                d2 = (
+                    jnp.sum(uv_cur**2, axis=1)[:, None]
+                    + jnp.sum(uvp**2, axis=1)[None, :]
+                    - 2.0 * jnp.matmul(uv_cur, uvp.T, precision="highest")
+                )
+                d2 = jnp.where(proj_ok[None, :], d2, jnp.inf)
+                nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                nd2 = jnp.take_along_axis(d2, nearest[:, None], 1)[:, 0]
+                found = mv & (nd2 < loc_assoc_radius_px * loc_assoc_radius_px)
+                return jnp.where(found, nearest, -1), found
+
+            def _keep_chain(_):
+                return jnp.where(alive, cand_slot, -1), alive
+
+            cand_slot, alive = jax.lax.cond(
+                need_refresh, _proj_assoc, _keep_chain, None
             )
-            d2 = jnp.where(proj_ok[None, :], d2, jnp.inf)
-            nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            nd2 = jnp.take_along_axis(d2, nearest[:, None], 1)[:, 0]
-            found = mv & (nd2 < loc_assoc_radius_px * loc_assoc_radius_px)
-            cand_slot = jnp.where(found, nearest, -1)
             cand_birth = m.point_birth[jnp.maximum(cand_slot, 0)]
-            alive = found
-        else:
-            # --- landmark association via the previous frame's keypoints ----
-            cand_slot = a.kp_to_point[qc]
-            cand_birth = a.kp_birth[qc]
-            alive = (
-                mv
-                & (cand_slot >= 0)
-                & (m.point_birth[jnp.maximum(cand_slot, 0)] == cand_birth)
-                & m.point_valid[jnp.maximum(cand_slot, 0)]
-            )
         X_map = m.points[jnp.maximum(cand_slot, 0)]  # (M, 3) world
 
         # --- fallback / seed: two-view pose at map-anchored scale ------------
@@ -249,17 +267,9 @@ def pnp_track_chunk(
         # on a tiny matrix is a disproportionately long dependent chain
         # inside this per-frame scan).
         s_used = jnp.linalg.norm(T_cur[:3, 3] - T_prev[:3, 3])
-        X_world = (
-            jnp.einsum(
-                "ij,mj->mi", T_cur[:3, :3], Xc_u * s_used, precision="highest"
-            )
-            + T_cur[:3, 3][None, :]
-        )
 
         # --- map update (same gating as update_map_chunk) --------------------
         enabled = fv & ((pnp_ok | vok) | (m.kf_count == 0))
-        if freeze_map:
-            enabled = jnp.zeros_like(enabled)
         R_cw_c = jnp.swapaxes(T_cur[:3, :3], 0, 1)
         Xc_cand = (X_map - T_cur[:3, 3][None, :]) @ R_cw_c.T
         z_cand = Xc_cand[:, 2]
@@ -271,27 +281,47 @@ def pnp_track_chunk(
         obs_alive = alive & gate
         assoc_slot = jnp.where(obs_alive, cand_slot, -1)
 
-        new_mask = ok_pt & (assoc_slot < 0) & enabled
-        m2, new_slots = insert_points(m, X_world, new_mask)
-        pt_slot = jnp.where(assoc_slot >= 0, assoc_slot, new_slots)
+        if freeze_map:
+            # Frozen map: no point/keyframe/observation inserts — and no
+            # masked-no-op insert machinery either (its dense scatter
+            # tables cost real work even fully masked).
+            m5 = m
+            new_mask = jnp.zeros_like(mv)
+            pt_slot = assoc_slot
+            kf_slot = jnp.asarray(-1, jnp.int32)
+        else:
+            X_world = (
+                jnp.einsum(
+                    "ij,mj->mi", T_cur[:3, :3], Xc_u * s_used,
+                    precision="highest",
+                )
+                + T_cur[:3, 3][None, :]
+            )
+            new_mask = ok_pt & (assoc_slot < 0) & enabled
+            m2, new_slots = insert_points(m, X_world, new_mask)
+            pt_slot = jnp.where(assoc_slot >= 0, assoc_slot, new_slots)
 
-        t_cw_c = -R_cw_c @ T_cur[:3, 3]
-        m3, kf_slot = insert_keyframe(m2, fid, R_cw_c, t_cw_c, enabled)
-        obs_ok = (obs_alive | new_mask) & enabled
-        m4 = add_observations(m3, jnp.maximum(kf_slot, 0), pt_slot, uv_cur, obs_ok)
+            t_cw_c = -R_cw_c @ T_cur[:3, 3]
+            m3, kf_slot = insert_keyframe(m2, fid, R_cw_c, t_cw_c, enabled)
+            obs_ok = (obs_alive | new_mask) & enabled
+            m4 = add_observations(
+                m3, jnp.maximum(kf_slot, 0), pt_slot, uv_cur, obs_ok
+            )
 
-        # second view for brand-new points in the previous keyframe
-        uv_prev = a.prev_xy[qc]
-        pks = jnp.maximum(a.prev_kf_slot, 0)
-        Xc_prev = X_world @ m4.kf_R[pks].T + m4.kf_t[pks][None, :]
-        pix_p = Xc_prev @ K.T
-        uv_pred_p = pix_p[:, :2] / jnp.maximum(pix_p[:, 2:3], 1e-9)
-        gate_p = (Xc_prev[:, 2] > min_cand_depth) & (
-            jnp.sum((uv_pred_p - uv_prev) ** 2, axis=-1) < gate_px * gate_px
-        )
-        m5 = add_observations(
-            m4, pks, new_slots, uv_prev, new_mask & (a.prev_kf_slot >= 0) & gate_p
-        )
+            # second view for brand-new points in the previous keyframe
+            uv_prev = a.prev_xy[qc]
+            pks = jnp.maximum(a.prev_kf_slot, 0)
+            Xc_prev = X_world @ m4.kf_R[pks].T + m4.kf_t[pks][None, :]
+            pix_p = Xc_prev @ K.T
+            uv_pred_p = pix_p[:, :2] / jnp.maximum(pix_p[:, 2:3], 1e-9)
+            gate_p = (Xc_prev[:, 2] > min_cand_depth) & (
+                jnp.sum((uv_pred_p - uv_prev) ** 2, axis=-1)
+                < gate_px * gate_px
+            )
+            m5 = add_observations(
+                m4, pks, new_slots, uv_prev,
+                new_mask & (a.prev_kf_slot >= 0) & gate_p,
+            )
 
         # --- propagate landmark identity -------------------------------------
         # Both payloads (map slot + birth guard) ride ONE writer-selection
