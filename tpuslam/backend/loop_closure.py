@@ -784,7 +784,14 @@ class LoopClosure:
                     db.ids > db.last_id - cfg.eviction_protect_recent
                 )
                 score = jnp.where(occupied, red, jnp.inf)  # empties first
-                score = jnp.where(protect, -jnp.inf, score)
+                # Protected rows are last-resort victims.  Config
+                # validation (SlamConfig.__post_init__) guarantees ≥B
+                # unprotected rows per chunk for loaded configs; for
+                # hand-built edge cases the last resort is deterministic
+                # oldest-first (finite sub-floor score ordered by age)
+                # instead of lax.top_k's arbitrary pick among -inf ties.
+                age = (db.last_id - db.ids).astype(jnp.float32)
+                score = jnp.where(protect, -1e30 + age, score)
                 _, idx = jax.lax.top_k(score, B)
                 return idx.astype(jnp.int32)
 

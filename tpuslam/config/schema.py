@@ -212,6 +212,19 @@ class LoopClosureConfig:
             raise ValueError(
                 "'EvictionProtectRecent' must be non-negative."
             )
+        if (
+            self.eviction_policy == "redundancy"
+            and self.eviction_protect_recent >= self.max_keyframes
+        ):
+            # With dense keyframes the protect window (frame-id recency)
+            # can cover the whole ring; victim selection then has no
+            # unprotected candidates and would silently evict protected
+            # rows (see LoopClosure._evict_idx).  The chunk-size-aware
+            # bound lives in SlamConfig (batch_size is known there).
+            raise ValueError(
+                "'EvictionProtectRecent' must be smaller than "
+                "'MaxKeyframes' under the redundancy eviction policy."
+            )
         if self.min_db_size < 0:
             raise ValueError("'MinDbSize' must be a non-negative integer.")
         if self.min_frames_difference <= 0:
@@ -375,6 +388,27 @@ class SlamConfig:
     frame_skip: int = 0
     batch_size: int = 16
     max_map_points: int = 8192
+
+    def __post_init__(self) -> None:
+        lc = self.loop_closure
+        if (
+            lc.eviction_policy == "redundancy"
+            and lc.max_keyframes - lc.eviction_protect_recent
+            < self.batch_size
+        ):
+            # Redundancy eviction snapshots its B victims from the rows
+            # that are occupied AND unprotected; with dense keyframes
+            # (PnP mode inserts every frame) the protect window can
+            # shrink that pool below B, and lax.top_k over the -inf
+            # scores would silently evict protected rows.  Eager,
+            # reference-style validation (cf. MinInliersForPnP ≤
+            # MinMatchesForPnP, loop_closure.cpp:67-69).
+            raise ValueError(
+                "'MaxKeyframes' - 'EvictionProtectRecent' must be at "
+                "least the chunk batch size under the redundancy "
+                "eviction policy (victim selection needs that many "
+                "unprotected rows per chunk)."
+            )
 
     @classmethod
     def from_yaml_dir(cls, config_dir: str | Path, **overrides: Any) -> "SlamConfig":
