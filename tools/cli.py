@@ -52,7 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                              "each frame absolutely against the persistent "
                              "landmark map (RANSAC DLT-PnP)")
     parser.add_argument("--vocabulary", default=None,
-                        help="BoW vocabulary .npz (default: <config>/vocabulary.npz)")
+                        help="BoW vocabulary .npz (default: the config "
+                             "directory's vocabulary_tree.npz if present — "
+                             "the production hierarchical vocabulary — else "
+                             "vocabulary.npz)")
     parser.add_argument("--save-state", default=None,
                         help="write final map/trajectory checkpoint (.npz)")
     parser.add_argument("--resume", default=None,
@@ -93,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     from tpuslam.pre.stream import FrameStream
 
     cfg_dir = Path(args.config)
+
+    def default_vocab():
+        # Production default: the hierarchical tree vocabulary (fbow-scale
+        # retrieval, thresholds calibrated for it in loop_closure.yml);
+        # flat vocabulary.npz remains the fixture-scale fallback.
+        tree = cfg_dir / "vocabulary_tree.npz"
+        return tree if tree.is_file() else cfg_dir / "vocabulary.npz"
+
     camera = Camera.from_yaml(cfg_dir / "camera.yml", camera_index=args.camera_index)
     config = SlamConfig.from_yaml_dir(
         cfg_dir, frame_skip=args.frame_skip, batch_size=args.batch_size
@@ -106,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         from tpuslam.model.system import SlamSystem
         from tpuslam.utils.checkpoint import load_state
 
-        vocab = args.vocabulary or (cfg_dir / "vocabulary.npz")
+        vocab = args.vocabulary or default_vocab()
         system = SlamSystem(
             camera, config, vocabulary=vocab, tracking="pnp",
             localization_only=True,
@@ -117,16 +128,25 @@ def main(argv: list[str] | None = None) -> int:
             "db": loaded["slam"]["db"],
         }
         stream = FrameStream(args.stream, frame_skip=args.frame_skip)
-        indices = stream.frame_indices()
-        if args.max_frames:
-            indices = indices[: args.max_frames]
-        frames = np.stack([stream.read_frame(i)[0] for i in indices])
         log.info(
-            "Localization-only: %d frames against the frozen map/DB of %s",
-            len(frames), args.localize,
+            "Localization-only (streaming): %s against the frozen map/DB "
+            "of %s", args.stream, args.localize,
         )
+        # Streaming driver, NOT an np.stack of the whole clip: the mode's
+        # story is unbounded deployment against a frozen map, so host RSS
+        # must stay flat (one chunk in flight at a time).
+        batches = stream.batches(args.batch_size)
+        if args.max_frames:
+            def limited(it, limit=args.max_frames):
+                seen = 0
+                for frames_b, ts, valid in it:
+                    yield frames_b, ts, valid
+                    seen += int(valid.sum())
+                    if seen >= limit:
+                        break
+            batches = limited(batches)
         t0 = time.time()
-        res = system.run_sequence(frames, warm_start=warm)
+        res = system.run(batches, warm_start=warm)
         dt = time.time() - t0
         save_kitti_trajectory(res["poses"], args.output)
         log.info("Trajectory written to %s", args.output)
@@ -135,10 +155,11 @@ def main(argv: list[str] | None = None) -> int:
 
             plot_trajectory(res["poses"], args.plot)
         if args.stats:
+            n_loc = len(res["poses"])
             print(json.dumps({
-                "frames": int(len(frames)),
+                "frames": int(n_loc),
                 "seconds": dt,
-                "fps": len(frames) / dt,
+                "fps": n_loc / dt,
                 "pose_ok": int(np.asarray(res["pose_ok"]).sum()),
                 "relocalizations": int(np.asarray(res["reloc_ok"]).sum()),
             }))
@@ -147,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.slam:
         from tpuslam.model.system import SlamSystem
 
-        vocab = args.vocabulary or (cfg_dir / "vocabulary.npz")
+        vocab = args.vocabulary or default_vocab()
         pipeline = SlamSystem(
             camera, config, vocabulary=vocab, tracking=args.tracking
         )
@@ -175,12 +196,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.max_frames:
             indices = indices[: args.max_frames]
         n_total = len(indices)
-        frames = np.stack([stream.read_frame(i)[0] for i in indices])
+        # Disk-backed staging: the video decodes once into a memmap and
+        # each shard's window is sliced straight onto ITS device, so host
+        # RSS stays ~one shard instead of 2× the whole video.
+        from tpuslam.pre.stream import frames_to_memmap
+
+        frames = frames_to_memmap(stream, indices)
         t0 = time.time()
         if args.slam:
             # full per-shard SLAM (map + LC + BA, VO or PnP tracking);
-            # loops across segment boundaries are out of scope (per-shard
-            # DBs — the context-parallel cut, see run_timesharded_system)
+            # cross-segment loops are recovered by the host-side post-pass
+            # + global pose graph (see run_timesharded_system)
             result = run_timesharded_system(
                 pipeline, frames, n_shards=args.timeshard
             )

@@ -442,6 +442,31 @@ class SlamSystem:
         )
         return result._replace(poses=poses, pose_ok=pose_ok), M_last, r_ok
 
+    def _warm_start_map(self, m):
+        """Prepare a loaded map for reuse in a NEW run starting at frame 0.
+
+        The loaded keyframe-window rows carry ``kf_id`` frame ids from the
+        run that built them; the new run re-issues those same ids, and two
+        consumers infer "inserted this run" from frame-id arithmetic:
+        ``_reloc_chunk_pnp`` (``kidx = kf_id - fids[0]`` picks rows to
+        rigid-correct) and ``_apply_ba_snapshot`` (``kf_id`` indexes the
+        trajectory).  A collision rigid-corrects or overwrites poses of
+        unrelated frames.  Re-stamp loaded rows to strictly negative ids
+        (order-preserving shift below the invalid sentinel −1): negative
+        ids are outside every ``[fids[0], fids[0]+B)`` window and outside
+        ``[0, n)`` trajectory indexing, so loaded rows stay BA-optimisable
+        but are never mistaken for this-run insertions.  Localization-only
+        mode keeps the map frozen and documents the same collision;
+        mapping-mode reuse needs this re-stamp.
+        """
+        if self.localization_only:
+            return m
+        max_id = jnp.max(jnp.where(m.kf_valid, m.kf_id, jnp.int32(-1)))
+        shifted = m.kf_id - (max_id + 2)  # valid rows end ≤ −2
+        return m._replace(
+            kf_id=jnp.where(m.kf_valid, shifted, m.kf_id)
+        )
+
     @staticmethod
     def _refreshed_pose(m, ran, fallback_pose):
         """T_world_cam of the newest keyframe in the (BA-optimised) window.
@@ -623,7 +648,9 @@ class SlamSystem:
         if self.tracking == "pnp":
             st0 = self.pipeline.initial_pnp_state()
             if warm_start is not None and "map" in warm_start:
-                st0 = st0._replace(map=warm_start["map"])
+                st0 = st0._replace(
+                    map=self._warm_start_map(warm_start["map"])
+                )
             carry0 = (
                 st0,
                 db,
@@ -632,7 +659,8 @@ class SlamSystem:
         else:
             carry0 = (
                 self.pipeline.initial_state(),
-                warm_start["map"] if warm_start and "map" in warm_start
+                self._warm_start_map(warm_start["map"])
+                if warm_start and "map" in warm_start
                 else empty_map(self.ba_window, self.max_map_points),
                 empty_assoc(self.config.detector.max_keypoints),
                 db,
@@ -753,6 +781,7 @@ class SlamSystem:
         frame_batches: Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]],
         seed: int = 0,
         resume: dict | None = None,
+        warm_start: dict | None = None,
     ) -> dict:
         """Stream frames through tracking + map + loop closure + BA.
 
@@ -773,8 +802,29 @@ class SlamSystem:
         deferred to the end of the *final* segment, and the saved raw
         trajectory/loop/BA state is prepended — so a split run reproduces
         the uninterrupted run exactly.
+
+        ``warm_start``: ``{"map": MapState, "db": KeyframeDB}`` to start a
+        NEW stream (frame ids from 0) against prebuilt state — the
+        streaming counterpart of :meth:`run_sequence`'s ``warm_start``,
+        and the REQUIRED input for ``localization_only`` mode, whose whole
+        story is unbounded deployment against a frozen map: this path
+        holds one chunk of frames at a time (flat host RSS), unlike the
+        staged ``run_sequence``.  Mutually exclusive with ``resume``
+        (which restores its own map/DB and frame counter).
         """
         pnp_mode = self.tracking == "pnp"
+        if resume is not None and warm_start is not None:
+            raise ValueError(
+                "resume and warm_start are mutually exclusive (a resume "
+                "payload already carries its own map/DB state)"
+            )
+        if self.localization_only and resume is None and (
+            warm_start is None or "map" not in warm_start
+        ):
+            raise ValueError(
+                "localization_only needs warm_start={'map':…, 'db':…} "
+                "(a previous run's checkpoint carries both)"
+            )
         if resume is not None:
             state = resume["carry_state"]
             world_map = resume["world_map"]
@@ -798,6 +848,13 @@ class SlamSystem:
                 if self.loop_closure is not None
                 else None
             )
+            if warm_start is not None:
+                if "db" in warm_start and db is not None:
+                    db = warm_start["db"]
+                if "map" in warm_start:
+                    world_map = self._warm_start_map(warm_start["map"])
+                    if pnp_mode:
+                        state = state._replace(map=world_map)
             frame_id = 0
             kf_expected_since_ba = 0
             chunk_idx = 0
@@ -830,12 +887,19 @@ class SlamSystem:
                 # host gate: relocalizing nothing yields identity
                 # corrections, so skipping when no frame is lost is
                 # outcome-identical and saves the verification programs
-                # (the one-dispatch scan path stays branchless instead)
+                # (the one-dispatch scan path stays branchless instead).
+                # Mirrors the `need` computation in _reloc_chunk[_pnp]:
+                # localization-only mode must bootstrap at frame 0
+                # against the loaded DB, so the fids>0 term drops there.
                 and bool(
                     (
                         ~np.asarray(result.pose_ok)
                         & np.asarray(valid)
-                        & (fids_full > 0)
+                        & (
+                            np.ones_like(fids_full, bool)
+                            if self.localization_only
+                            else fids_full > 0
+                        )
                     ).any()
                 )
             ):
@@ -860,7 +924,12 @@ class SlamSystem:
             else:
                 reloc_ok = jnp.zeros(B, bool)
             if pnp_mode:
-                kf_mask = np.arange(B) < n  # every tracked frame
+                if self.localization_only:
+                    # frozen map/DB: nothing is ever inserted (mirrors the
+                    # kf_enabled = zeros branch of _sequence_impl)
+                    kf_mask = np.zeros(B, bool)
+                else:
+                    kf_mask = np.arange(B) < n  # every tracked frame
             else:
                 kf_mask = (fids_full % self.keyframe_interval == 0) & (
                     np.arange(B) < n
