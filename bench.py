@@ -50,6 +50,13 @@ BATCH = 16
 N_FRAMES = 96
 
 
+def _vocab():
+    """Production vocabulary: the hierarchical tree (thresholds in
+    configs/loop_closure.yml are calibrated for it); flat fallback."""
+    tree = REPO_ROOT / "configs" / "vocabulary_tree.npz"
+    return tree if tree.is_file() else REPO_ROOT / "configs" / "vocabulary.npz"
+
+
 def _load_frames(n_frames: int) -> np.ndarray:
     from tpuslam.pre.stream import FrameStream
 
@@ -178,7 +185,7 @@ def measure_slam(frames_d, tracking: str = "vo") -> float:
     config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
     system = SlamSystem(
         camera, config,
-        vocabulary=REPO_ROOT / "configs" / "vocabulary.npz",
+        vocabulary=_vocab(),
         tracking=tracking,
     )
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
@@ -244,7 +251,7 @@ def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
     system = SlamSystem(
         camera,
         config,
-        vocabulary=REPO_ROOT / "configs" / "vocabulary.npz",
+        vocabulary=_vocab(),
         tracking="pnp",
     )
     n_chunks = N_FRAMES // BATCH
@@ -282,6 +289,83 @@ def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
     return _median_fps(dispatch, S * N_FRAMES), S
 
 
+def measure_localization() -> dict:
+    """Localization-only mode: track a frozen, checkpointed map.
+
+    Protocol (the BASELINE "marginal rate" capture, now driver-run): one
+    UNTIMED mapping pass over the 96-frame clip builds the map+DB; the
+    frozen-map localization sequence program is then timed over a
+    96-frame and a 192-frame staged clip (same ping-pong tiling — the
+    longer clip stays inside mapped territory), and the steady-state
+    number is the marginal rate (192−96)/(t₁₉₂−t₉₆), which cancels the
+    one-time bootstrap lock-in that dominates short-clip averages.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.model.system import SlamSystem
+
+    camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
+    frames96 = _load_frames(N_FRAMES)
+    frames192 = _load_frames(2 * N_FRAMES)
+
+    mapper = SlamSystem(
+        camera, config,
+        vocabulary=_vocab(),
+        tracking="pnp", enable_pose_graph=False,
+    )
+    out = mapper.run_sequence(frames96, seed=0)
+
+    loc = SlamSystem(
+        camera, config,
+        vocabulary=_vocab(),
+        tracking="pnp", localization_only=True, enable_pose_graph=False,
+    )
+    carry0 = (
+        loc.pipeline.initial_pnp_state()._replace(map=out["map"]),
+        out["db"],
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def timed(frames):
+        chunks_d = _staged(frames).reshape(-1, BATCH, *frames.shape[1:])
+        n_chunks = chunks_d.shape[0]
+        chunk_valid = jnp.ones((n_chunks, BATCH), bool)
+
+        def keys_for(seed):
+            return jax.vmap(
+                lambda c: jax.random.fold_in(jax.random.PRNGKey(seed), c)
+            )(jnp.arange(n_chunks, dtype=jnp.int32))
+
+        def dispatch(seed):
+            _, outs = loc._sequence_jit(
+                chunks_d, chunk_valid, carry0, keys_for(seed)
+            )
+            jax.block_until_ready(outs["poses"])
+
+        dispatch(0)  # compile + warm
+        times = []
+        for seed in (1, 2, 3, 4, 5, 6, 7):
+            t0 = time.perf_counter()
+            dispatch(seed)
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
+    t96 = timed(frames96)
+    t192 = timed(frames192)
+    marginal = N_FRAMES / max(t192 - t96, 1e-9)
+    return {
+        "metric": "localization_throughput_kitti",
+        "value": round(marginal, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(marginal / 500.0, 4),
+        "from_scratch_96f": round(N_FRAMES / t96, 2),
+    }
+
+
 def _probe_device(timeout_s: float = 180.0) -> None:
     """Fail fast (with one explanatory JSON line) when the device hangs.
 
@@ -315,7 +399,8 @@ def _probe_device(timeout_s: float = 180.0) -> None:
 
 def main() -> None:
     single_mode = any(f in sys.argv for f in (
-        "--slam", "--pnp", "--pyramid", "--fast", "--multiseq", "--vo-only"
+        "--slam", "--pnp", "--pyramid", "--fast", "--multiseq", "--vo-only",
+        "--localize",
     ))
     if not single_mode:
         # Combined scoreboard run: orchestrate subprocesses, never import
@@ -325,6 +410,9 @@ def main() -> None:
         return
     if not os.environ.get("BENCH_CHILD"):
         _probe_device()
+    if "--localize" in sys.argv:
+        print(json.dumps(measure_localization()))
+        return
     frames_d = _staged(_load_frames(N_FRAMES))
     if "--slam" in sys.argv:
         tracking = "pnp" if "--pnp" in sys.argv else "vo"
@@ -438,14 +526,15 @@ def orchestrate() -> None:
     while total budget remains — a transient degradation window (the
     failure that voided round 3's aux block) passes between attempts.
     """
-    budget_s = _env_float("BENCH_BUDGET_S", 1800.0)
+    budget_s = _env_float("BENCH_BUDGET_S", 3600.0)
     per_mode_s = _env_float("BENCH_MODE_BUDGET_S", 420.0)
     t0 = time.monotonic()
+    # No fabricated headline: value/vs_baseline appear only once the vo
+    # subprocess actually reports (a skipped headline must be
+    # distinguishable from a measured 0.0 regression).
     record: dict = {
         "metric": "vo_throughput_kitti",
-        "value": 0.0,
         "unit": "frames/sec",
-        "vs_baseline": 0.0,
     }
     modes = (
         (None, ["--vo-only"]),
@@ -454,6 +543,13 @@ def orchestrate() -> None:
         # Map-centric composition: PnP tracking + LC + BA sharing one
         # map (the reference's declared Backend/Map architecture).
         ("slam_pnp_fps", ["--slam", "--pnp"]),
+        # The remaining scoreboard lines, under the same driver protocol
+        # (round-4 verdict: builder-reported single-mode numbers drift
+        # from driver-captured ones — capture everything in one run).
+        ("multiseq_fps", ["--multiseq"]),
+        ("fast_fps", ["--fast"]),
+        ("pyramid_fps", ["--pyramid"]),
+        ("localization_fps", ["--localize"]),
     )
     skipped = []
     for key, args in modes:
