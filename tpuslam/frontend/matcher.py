@@ -21,6 +21,7 @@ batches of frame pairs.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from pathlib import Path
 from typing import NamedTuple
@@ -33,6 +34,19 @@ from tpuslam.config.schema import MatcherConfig
 from tpuslam.frontend.fast import KeypointSet
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
+# Data-movement layout of the (N1, N2) distance matrix (round-5 roofline
+# pass; BASELINE.md "MFU / roofline": match is the highest-traffic stage at
+# 49% HBM).  The optimised layout is semantics-identical (oracle tests
+# unchanged): int16 distances (max penalised distance ≤ 1016 ≪ 32767),
+# second-best by equality-masked min instead of a scatter knockout (the
+# .at[].set rewrite materialised the full matrix twice), and the pixel
+# distance d² from a (N1,2)×(2,N2) MXU matmul expansion instead of the
+# (N1, N2, 2) broadcast-subtract tensor.  TPUSLAM_MATCH_LEGACY=1 restores
+# the round-4 layout (the interleaved A/B comparator).
+_LEGACY = os.environ.get("TPUSLAM_MATCH_LEGACY") == "1"
+# int16 sentinel: larger than any real (penalised) distance, small enough
+# that packed ratio/top-k float math stays exact.
+_SENT16 = jnp.int16(32767)
 
 
 class MatchSet(NamedTuple):
@@ -59,10 +73,24 @@ def penalized_distance_matrix(
     dist ← int(dist · (1 + d/R)) when pixel distance d > R (trunc toward 0),
     mirroring reference ``feature_matcher.cpp:161-170``.
     """
-    d2 = jnp.sum((xy1[:, None, :] - xy2[None, :, :]) ** 2, axis=-1)
+    if _LEGACY:
+        d2 = jnp.sum((xy1[:, None, :] - xy2[None, :, :]) ** 2, axis=-1)
+    else:
+        # ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b: the cross term is a (N1,2)×(2,N2)
+        # MXU matmul, so no (N1, N2, 2) difference tensor exists.  The
+        # expansion's cancellation error (~0.25 px² at KITTI coordinate
+        # magnitudes) only matters near d≈0, far from the penalty
+        # threshold (d > 500 px) where the value is actually used.
+        cross = jnp.matmul(xy1, xy2.T, precision="highest")
+        d2 = (
+            jnp.sum(xy1 * xy1, axis=-1)[:, None]
+            + jnp.sum(xy2 * xy2, axis=-1)[None, :]
+            - 2.0 * cross
+        )
+        d2 = jnp.maximum(d2, 0.0)
     d = jnp.sqrt(d2.astype(jnp.float32))
     penalty = 1.0 + d / max_jump_radius
-    penalized = (dist.astype(jnp.float32) * penalty).astype(jnp.int32)
+    penalized = (dist.astype(jnp.float32) * penalty).astype(dist.dtype)
     return jnp.where(d > max_jump_radius, penalized, dist)
 
 
@@ -98,19 +126,34 @@ def match_descriptors(
     n1 = desc1.shape[0]
 
     dist = hamming_matrix(desc1, desc2)  # (N1, N2) int32
+    if not _LEGACY:
+        # int16 layout: max penalised distance is 256·(1 + diag/500) ≤
+        # 1016 at KITTI resolution — half the HBM traffic on every
+        # materialisation of the (N1, N2) matrix.
+        dist = dist.astype(jnp.int16)
+    sent = _INT_MAX if _LEGACY else _SENT16
     if use_spatial_penalty and xy1 is not None and xy2 is not None:
         dist = penalized_distance_matrix(dist, xy1, xy2, max_jump_radius)
 
-    # Mask out invalid train columns with INT_MAX (the reference's sentinel).
-    dist = jnp.where(valid2[None, :], dist, _INT_MAX)
+    # Mask out invalid train columns with the sentinel (reference: INT_MAX).
+    dist = jnp.where(valid2[None, :], dist, sent)
 
     best = jnp.min(dist, axis=1)  # (N1,)
     best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)  # first occurrence, like C++ <
-    # Second best: min with the best column knocked out.
-    knocked = dist.at[jnp.arange(n1), best_idx].set(_INT_MAX)
-    second = jnp.min(knocked, axis=1)
+    if _LEGACY:
+        # Second best: min with the best column knocked out (scatter).
+        knocked = dist.at[jnp.arange(n1), best_idx].set(sent)
+        second = jnp.min(knocked, axis=1)
+    else:
+        # Equality-masked min: same first-occurrence-knockout semantics
+        # without the scatter, which forced a second full read+write of
+        # the matrix (the round-4 LC-ring lesson at matcher scale).
+        col = jnp.arange(dist.shape[1], dtype=jnp.int32)
+        second = jnp.min(
+            jnp.where(col[None, :] == best_idx[:, None], sent, dist), axis=1
+        )
 
-    good = valid1 & (best < _INT_MAX)
+    good = valid1 & (best < sent)
     if use_ratio_test:
         good = good & (
             best.astype(jnp.float32) < ratio_threshold * second.astype(jnp.float32)
