@@ -161,3 +161,62 @@ class TestBriefPallas:
         np.testing.assert_array_equal(
             np.asarray(desc), np.asarray(setup["desc_ref"])
         )
+
+
+def test_fused_nms_key_matches_xla(crop):
+    """The one-pass blur+FAST+NMS kernel's packed-key plane bit-equals the
+    XLA chain (fast_response_and_mask → local_max_nms → _packed_key) with
+    the blur border rule applied — the round-5 NMS data-movement fusion."""
+    from tpuslam.frontend.fast import _packed_key, local_max_nms
+    from tpuslam.kernels import frontend_pallas as fp
+
+    window = 12
+    orig = fp.pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    fp.pl.pallas_call = interp_call
+    try:
+        blur_k, key_k = fp.fused_frontend_nms_batch.__wrapped__(
+            jnp.asarray(crop)[None], threshold=20, contiguous=12,
+            window=window,
+        )
+        blur_k, key_k = blur_k[0], key_k[0]
+    finally:
+        fp.pl.pallas_call = orig
+
+    corner, score = fast_response_and_mask(jnp.asarray(crop), 20, 12)
+    keep = local_max_nms(corner, score, window)
+    want_key = _packed_key(score, keep)
+    np.testing.assert_array_equal(np.asarray(key_k), np.asarray(want_key))
+    want_blur = np.asarray(
+        gaussian_blur_u8(jnp.asarray(crop), jnp.asarray(gaussian_kernel()))
+    )
+    np.testing.assert_array_equal(np.asarray(blur_k), want_blur)
+
+
+def test_select_from_key_matches_select_keypoints(crop):
+    """select_from_key on the post-NMS key plane reproduces
+    select_keypoints exactly (same tile-pooled top-k)."""
+    from tpuslam.frontend.fast import (
+        _packed_key,
+        local_max_nms,
+        select_from_key,
+        select_keypoints,
+    )
+
+    window, cap = 12, 256
+    corner, score = fast_response_and_mask(jnp.asarray(crop), 20, 12)
+    want = select_keypoints(
+        corner, score, nms=True, window=window, max_keypoints=cap
+    )
+    keep = local_max_nms(corner, score, window)
+    key = _packed_key(score, keep)
+    got = select_from_key(key, window=window, max_keypoints=cap)
+    for field in ("xy", "response", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)), np.asarray(getattr(want, field)),
+            err_msg=field,
+        )

@@ -118,13 +118,76 @@ class FeatureDetector:
             return self._level_batch(images, c.max_keypoints)
         return self._pyramid_batch(images)
 
+    def _fused_nms_ok(self, h: int, w: int, max_keypoints: int) -> bool:
+        """Whether the blur+FAST+NMS single-pass kernel applies here.
+
+        Mirrors select_keypoints' exact-tile-pool preconditions (unshifted
+        index recovery, ≥max_keypoints tiles) plus the kernel's halo bound.
+        """
+        import os
+
+        from tpuslam.kernels.frontend_pallas import NMS_HALO
+
+        c = self.config
+        tile = c.suppression_window_size
+        if not (self.use_pallas and c.non_max_suppression and tile >= 2):
+            return False
+        # OFF by default: interleaved A/B measured the in-kernel NMS ~10%
+        # SLOWER end-to-end (620-630 vs 697 FPS VO) — the cross-sublane
+        # roll/shuffle work (even at O(log window) shifts) far outweighs
+        # the HBM planes it saves on this VPU-latency-bound kernel.  Kept
+        # as an opt-in measured experiment (BASELINE.md round-5 notes).
+        if os.environ.get("TPUSLAM_NMS_FUSED", "0") != "1":
+            return False
+        n_tiles = -(-h // tile) * (-(-w // tile))
+        return (
+            tile - 1 + 3 <= NMS_HALO
+            and h * w < (1 << 20)
+            and n_tiles >= max_keypoints
+        )
+
     def _level_batch(
         self, images: jax.Array, max_keypoints: int
     ) -> tuple[KeypointSet, jax.Array]:
         """Single-scale batched detect+compute with an explicit capacity."""
         c = self.config
         if self.use_pallas and images.shape[-2] >= 64 and images.shape[-1] >= 128:
-            from tpuslam.kernels.frontend_pallas import fused_frontend_batch
+            from tpuslam.frontend.fast import select_from_key
+            from tpuslam.kernels.frontend_pallas import (
+                fused_frontend_batch,
+                fused_frontend_nms_batch,
+            )
+
+            if self._fused_nms_ok(
+                images.shape[-2], images.shape[-1], max_keypoints
+            ):
+                # One-pass blur+FAST+NMS: the kernel emits the post-NMS
+                # packed key directly — no corner/score planes and no
+                # separate full-resolution NMS passes through HBM.
+                blur, keep_key = fused_frontend_nms_batch(
+                    images,
+                    threshold=c.intensity_threshold,
+                    contiguous=c.contiguous_pixels_threshold,
+                    window=c.suppression_window_size,
+                )
+                kps = jax.vmap(
+                    lambda k: select_from_key(
+                        k, window=c.suppression_window_size,
+                        max_keypoints=max_keypoints,
+                    )
+                )(keep_key)
+                if c.brief_quantized_bins > 0:
+                    return _compute_batch_fused(
+                        blur, kps, self.pattern, self.bin_weights_3d,
+                        self.moment_weights, c.num_brief_pairs, c.patch_size,
+                        c.brief_quantized_bins,
+                    )
+                return jax.vmap(
+                    lambda bl, k: _compute_from_blurred(
+                        bl, k, self.pattern, self.bin_weights,
+                        c.num_brief_pairs, c.patch_size, c.brief_quantized_bins,
+                    )
+                )(blur, kps)
 
             blur, corner, score = fused_frontend_batch(
                 images,
@@ -189,10 +252,38 @@ class FeatureDetector:
         caps = [max(32, int(round(c.max_keypoints * wt / total))) for wt in weights]
         caps[0] += c.max_keypoints - sum(caps)
 
+        import os
+
+        # OFF by default: bit-identical to the loop (test_pyramid), but
+        # interleaved A/B in the FUSED VO program measured the canvas
+        # ~12% slower (413-427 vs 469 FPS pyramid) — XLA already overlaps
+        # the per-level work in situ, and the standalone detector harness
+        # that motivated it overstated per-level fixed costs (BASELINE.md
+        # round-5 notes; the in-situ probe is the arbiter, again).
+        if len(levels) > 1 and os.environ.get(
+            "TPUSLAM_PYRAMID_CANVAS", "0"
+        ) == "1":
+            return self._pyramid_batch_canvas(images, levels, caps)
+
+        import os
+
+        # Cascade: resize each level from the PREVIOUS level (the OpenCV
+        # ORB buildPyramid convention) instead of from level 0 — reads
+        # shrink geometrically instead of paying the full-resolution image
+        # per level.  Interpolation compounds slightly (bilinear of
+        # bilinear); the pyramid quality tests gate the behaviour.
+        cascade = os.environ.get("TPUSLAM_PYRAMID_CASCADE", "0") == "1"
         kp_parts: list[KeypointSet] = []
         desc_parts: list[jax.Array] = []
+        prev = images
         for (level, h_l, w_l), cap in zip(levels, caps):
-            img = images if level == 0 else _resize_batch_u8(images, h_l, w_l)
+            if level == 0:
+                img = images
+            else:
+                img = _resize_batch_u8(
+                    prev if cascade else images, h_l, w_l
+                )
+            prev = img
             kps, desc = self._level_batch(img, cap)
             scale = jnp.float32(c.scale_factor**level)
             kps = kps._replace(xy=kps.xy * scale)
@@ -201,15 +292,169 @@ class FeatureDetector:
         kps = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1), *kp_parts)
         return kps, jnp.concatenate(desc_parts, axis=1)
 
+    def _pyramid_batch_canvas(
+        self, images: jax.Array, levels, caps
+    ) -> tuple[KeypointSet, jax.Array]:
+        """Pyramid detect via ONE stacked-canvas blur+FAST pass.
+
+        The per-level loop paid the padding copy + Pallas kernel launch
+        four times; the round-5 ladder (BASELINE.md) measured those fixed
+        costs, not pixel work, as most of the pyramid's marginal cost.
+        All levels stack vertically into one (B, ΣH_l, W) canvas and blur
+        + FAST run ONCE over it.  Bit-exactness with the per-level loop
+        (asserted by test_pyramid) holds because every per-level edge
+        rule is reapplied in level coordinates:
+
+        * corners live ≥3 px inside a level, so FAST's reads never cross
+          a level boundary; a static per-level border-3 mask removes the
+          canvas-computed corners outside that region (incl. everything
+          in other levels' columns);
+        * NMS + tile-pooled top-k run per level on SLICES of the canvas
+          corner/score planes — identical inputs ⇒ identical keypoints
+          (and slice-local packed keys keep the <2^20 exact-index
+          guarantee the canvas as a whole would lose);
+        * the 5×5 blur's interior (≥2 px inside a level) never reads
+          across a boundary, and the reference border-copy rule is
+          reapplied per level before BRIEF.
+        """
+        c = self.config
+        B, H, W = images.shape
+        import numpy as np
+
+        origins = []
+        o = 0
+        for (_, h_l, _) in levels:
+            origins.append(o)
+            o += h_l
+        H_canvas = o
+
+        canvas = jnp.zeros((B, H_canvas, W), jnp.uint8)
+        imgs = []
+        for (level, h_l, w_l), o_l in zip(levels, origins):
+            img = images if level == 0 else _resize_batch_u8(images, h_l, w_l)
+            canvas = jax.lax.dynamic_update_slice(canvas, img, (0, o_l, 0))
+            imgs.append(img)
+
+        if self.use_pallas and H_canvas >= 64 and W >= 128:
+            from tpuslam.kernels.frontend_pallas import fused_frontend_batch
+
+            blur_c, corner_c, score_c = fused_frontend_batch(
+                canvas,
+                threshold=c.intensity_threshold,
+                contiguous=c.contiguous_pixels_threshold,
+            )
+        else:
+            from tpuslam.frontend.fast import fast_response_and_mask
+
+            corner_c, score_c = jax.vmap(
+                lambda im: fast_response_and_mask(
+                    im, c.intensity_threshold, c.contiguous_pixels_threshold
+                )
+            )(canvas)
+            blur_c = jax.vmap(
+                lambda im: gaussian_blur_u8(im, self.blur_kernel)
+            )(canvas)
+
+        # static per-level border-3 interior mask (kills gap/cross-level
+        # corners and reapplies each level's FAST border exclusion)
+        mask = np.zeros((H_canvas, W), bool)
+        for (_, h_l, w_l), o_l in zip(levels, origins):
+            mask[o_l + 3 : o_l + h_l - 3, 3 : w_l - 3] = True
+        corner_c = corner_c & jnp.asarray(mask)[None]
+
+        kp_parts: list[KeypointSet] = []
+        desc_parts: list[jax.Array] = []
+        for (level, h_l, w_l), o_l, cap, img in zip(
+            levels, origins, caps, imgs
+        ):
+            sl_corner = jax.lax.slice(
+                corner_c, (0, o_l, 0), (B, o_l + h_l, w_l)
+            )
+            sl_score = jax.lax.slice(
+                score_c, (0, o_l, 0), (B, o_l + h_l, w_l)
+            )
+            kps = jax.vmap(
+                lambda co, sc, cap=cap: select_keypoints(
+                    co, sc, nms=c.non_max_suppression,
+                    window=c.suppression_window_size, max_keypoints=cap,
+                )
+            )(sl_corner, sl_score)
+            blur_l = jax.lax.slice(blur_c, (0, o_l, 0), (B, o_l + h_l, w_l))
+            # reference blur border rule, per level (the canvas pass
+            # applied it at canvas edges only)
+            row = jnp.arange(h_l)[:, None]
+            col = jnp.arange(w_l)[None, :]
+            border = (
+                (row < 2) | (row >= h_l - 2) | (col < 2) | (col >= w_l - 2)
+            )
+            blur_l = jnp.where(border[None], img, blur_l)
+            if (
+                self.use_pallas
+                and c.brief_quantized_bins > 0
+                and h_l >= 64
+                and w_l >= 128
+            ):
+                kps2, desc = _compute_batch_fused(
+                    blur_l, kps, self.pattern, self.bin_weights_3d,
+                    self.moment_weights, c.num_brief_pairs, c.patch_size,
+                    c.brief_quantized_bins,
+                )
+            else:
+                kps2, desc = jax.vmap(
+                    lambda bl, k: _compute_from_blurred(
+                        bl, k, self.pattern, self.bin_weights,
+                        c.num_brief_pairs, c.patch_size,
+                        c.brief_quantized_bins,
+                    )
+                )(blur_l, kps)
+            scale = jnp.float32(c.scale_factor**level)
+            kps2 = kps2._replace(xy=kps2.xy * scale)
+            kp_parts.append(kps2)
+            desc_parts.append(desc)
+        kps = jax.tree.map(
+            lambda *parts: jnp.concatenate(parts, axis=1), *kp_parts
+        )
+        return kps, jnp.concatenate(desc_parts, axis=1)
+
 
 @partial(jax.jit, static_argnames=("h_out", "w_out"))
 def _resize_batch_u8(images: jax.Array, h_out: int, w_out: int) -> jax.Array:
-    """Bilinear (B, H, W) uint8 resize — the pyramid downscale."""
+    """Bilinear (B, H, W) uint8 resize — the pyramid downscale.
+
+    DEFAULT matmul precision, not jax.image.resize's HIGHEST (a 6-pass
+    f32 emulation on the MXU): the three pyramid resizes at HIGHEST were
+    the pyramid config's single largest marginal cost (~0.5 ms/frame,
+    round-5 ladder in BASELINE.md).  bf16 weight quantisation moves ≤2
+    gray levels on ~13% of pixels of an already low-pass-filtered
+    downsample — far below the FAST intensity threshold (20); pixel
+    values themselves are exact in bf16 (integers ≤ 256).  On CPU
+    (tests) DEFAULT is full f32 — bit-identical to before.
+    """
+    import os
+
+    precision = (
+        jax.lax.Precision.HIGHEST  # the pre-round-5 behaviour, for A/B
+        if os.environ.get("TPUSLAM_RESIZE_HIGHEST") == "1"
+        else jax.lax.Precision.DEFAULT
+    )
     out = jax.image.resize(
         images.astype(jnp.float32),
         (images.shape[0], h_out, w_out),
         method="linear",
+        precision=precision,
     )
+    if os.environ.get("TPUSLAM_RESIZE_DOUBLE") == "1":  # measurement aid:
+        # run the resize a second time on a perturbed input and fold a
+        # zero into the output (CSE/DCE-proof) — the end-to-end FPS delta
+        # is the resize's true in-situ cost (the BASELINE doubling-probe
+        # protocol).
+        out2 = jax.image.resize(
+            images.astype(jnp.float32) + 1.0,
+            (images.shape[0], h_out, w_out),
+            method="linear",
+            precision=precision,
+        )
+        out = out + (jax.lax.optimization_barrier(out2[0, 0, 0]) * 0.0)
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 

@@ -231,6 +231,46 @@ def select_keypoints(
     )
 
 
+def select_from_key(
+    key: jax.Array, *, window: int, max_keypoints: int
+) -> KeypointSet:
+    """Top-k keypoints from a post-NMS packed-key plane.
+
+    ``key``: (H, W) uint32 — ``_packed_key(score, keep)`` with NMS and
+    border rules already applied (the fused Pallas kernel emits exactly
+    this, ``kernels.frontend_pallas.fused_frontend_nms_batch``).  Same
+    tile-pooled exact top-k as :func:`select_keypoints`; callers must
+    ensure ``H·W < 2^20`` (unshifted index recovery) and
+    ``n_tiles ≥ max_keypoints``.
+    """
+    h, w = key.shape
+    n = h * w
+    tile = window
+    pooled = jax.lax.reduce_window(
+        key, jnp.uint32(0), jax.lax.max,
+        window_dimensions=(tile, 1), window_strides=(tile, 1),
+        padding=(((0, (-h) % tile), (0, 0))),
+    )
+    pooled = jax.lax.reduce_window(
+        pooled, jnp.uint32(0), jax.lax.max,
+        window_dimensions=(1, tile), window_strides=(1, tile),
+        padding=(((0, 0), (0, (-w) % tile))),
+    )
+    top_keys, _ = jax.lax.top_k(pooled.reshape(-1), max_keypoints)
+    inv_idx = top_keys & jnp.uint32((1 << _IDX_BITS) - 1)
+    top_idx = (jnp.uint32(n - 1) - inv_idx).astype(jnp.int32)
+    valid = top_keys > 0
+    y = (top_idx // w).astype(jnp.float32)
+    x = (top_idx % w).astype(jnp.float32)
+    resp = (top_keys >> _IDX_BITS).astype(jnp.float32)
+    return KeypointSet(
+        xy=jnp.where(valid[:, None], jnp.stack([x, y], axis=-1), 0.0),
+        response=jnp.where(valid, resp, 0.0),
+        angle=jnp.zeros(max_keypoints, dtype=jnp.float32),
+        valid=valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("threshold", "contiguous", "nms", "window", "max_keypoints"))
 def detect_keypoints(
     image: jax.Array,
