@@ -78,9 +78,10 @@ def test_loop_closure_config_from_yaml():
     cfg = LoopClosureConfig.from_yaml(CONFIGS / "loop_closure.yml")
     assert cfg.min_db_size == 2
     assert cfg.min_frames_difference == 2
-    assert cfg.min_absolute_score == pytest.approx(0.005)
-    # Re-baselined for cosine BoW scores (the reference fbow default was 1.5)
-    assert cfg.relative_score_factor == pytest.approx(1.1)
+    # Calibrated for the production tree vocabulary by
+    # tools/calibrate_vocabulary.py (round 5; see configs/loop_closure.yml)
+    assert cfg.min_absolute_score == pytest.approx(0.0199)
+    assert cfg.relative_score_factor == pytest.approx(1.07)
     assert cfg.min_matches_for_pnp == 20
     assert cfg.min_inliers_for_pnp == 5
 

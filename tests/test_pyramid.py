@@ -112,3 +112,27 @@ def test_detection_on_unused_loop_fixture():
         for levels in (1, 3):
             kps, _ = _detect(frame, levels=levels)
             assert kps.valid.sum() > 40, (i, levels, int(kps.valid.sum()))
+
+
+def test_pyramid_canvas_matches_loop(monkeypatch):
+    """The stacked-canvas single-pass pyramid detect (round-5 fixed-cost
+    consolidation) is BIT-IDENTICAL to the per-level loop: keypoints,
+    responses, validity and descriptors."""
+    cfg = DetectorConfig(
+        brief_quantized_bins=16, num_levels=4, scale_factor=1.2
+    )
+    det = FeatureDetector(cfg)
+    frames = jnp.asarray(
+        np.stack([_load("images_test_loop2", 0), _load("images_test_loop2", 1)])
+    )
+    monkeypatch.setenv("TPUSLAM_PYRAMID_CANVAS", "1")
+    kc, dc = det.detect_and_compute_batch(frames)
+    monkeypatch.setenv("TPUSLAM_PYRAMID_CANVAS", "0")
+    kl, dl = det.detect_and_compute_batch(frames)
+    np.testing.assert_array_equal(np.asarray(kc.valid), np.asarray(kl.valid))
+    np.testing.assert_array_equal(np.asarray(kc.xy), np.asarray(kl.xy))
+    np.testing.assert_array_equal(
+        np.asarray(kc.response), np.asarray(kl.response)
+    )
+    np.testing.assert_array_equal(np.asarray(kc.angle), np.asarray(kl.angle))
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(dl))
