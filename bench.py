@@ -83,6 +83,26 @@ def _staged(frames: np.ndarray):
     return frames_d
 
 
+def _pipelined_fps(enqueue, n_frames: int, k: int = 8) -> float:
+    """Steady-state throughput: k fresh-keys dispatches, one barrier.
+
+    The single-dispatch protocol charges the remote tunnel's dispatch
+    round trip (~27 ms measured) to every program — a tunnel artifact,
+    not system cost; a deployed streaming driver pipelines dispatches.
+    ``enqueue(seed)`` must submit WITHOUT blocking and return the output
+    pytree; fresh keys per dispatch keep the result cache out.
+    """
+    import jax
+
+    times = []
+    for rep in (0, 1, 2):
+        t0 = time.perf_counter()
+        outs = [enqueue(1000 + rep * k + i) for i in range(k)]
+        jax.block_until_ready(outs)
+        times.append(time.perf_counter() - t0)
+    return k * n_frames / sorted(times)[len(times) // 2]
+
+
 def _median_fps(dispatch, n_frames: int, seeds=(1, 2, 3, 4, 5, 6, 7)) -> float:
     """Median of several fresh-keys timed dispatches.
 
@@ -133,6 +153,38 @@ def measure_vo(frames_d, config_dir: str = "configs") -> float:
     return _median_fps(dispatch, N_FRAMES)
 
 
+def measure_vo_pipelined(frames_d, k: int = 8) -> float | None:
+    """Steady-state VO throughput: k fresh-keys dispatches, one barrier.
+
+    The single-dispatch protocol charges the remote tunnel's full
+    dispatch round trip (~30 ms) to every 96-frame program — a tunnel
+    artifact, not system cost; a deployed streaming driver pipelines
+    dispatches (``SlamSystem.run()`` never blocks mid-stream).  Each
+    dispatch still uses fresh PRNG keys (result-cache-proof) and the
+    chain is timed end-to-end, so per-dispatch compute is fully real;
+    only the round trip amortises (cost → RT/k).
+    """
+    import jax
+
+    from tpuslam.common.camera import Camera
+    from tpuslam.config.schema import SlamConfig
+    from tpuslam.model.slam import SlamPipeline
+
+    camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
+    pipeline = SlamPipeline(camera, config)
+    state = pipeline.initial_state()
+    chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
+    chunk_valid = jax.numpy.ones((chunks_d.shape[0], BATCH), bool)
+
+    def enqueue(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), chunks_d.shape[0])
+        return pipeline._sequence_fn(chunks_d, chunk_valid, state, keys)
+
+    jax.block_until_ready(enqueue(0))  # compile + warm
+    return _pipelined_fps(enqueue, N_FRAMES, k=k)
+
+
 def measure_pnp(frames_d) -> float:
     """One-dispatch map-centric PnP tracking over the staged sequence."""
     import jax
@@ -149,13 +201,15 @@ def measure_pnp(frames_d) -> float:
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
     chunk_valid = jax.numpy.ones((chunks_d.shape[0], BATCH), bool)
     # Fresh keys per dispatch (see measure_vo / _median_fps).
-    def dispatch(seed):
+    def enqueue(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), chunks_d.shape[0])
-        r, s = pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, keys)
-        jax.block_until_ready((r, s))
+        return pipeline._sequence_pnp_fn(chunks_d, chunk_valid, state, keys)
+
+    def dispatch(seed):
+        jax.block_until_ready(enqueue(seed))
 
     dispatch(0)  # compile + warm
-    return _median_fps(dispatch, N_FRAMES)
+    return _median_fps(dispatch, N_FRAMES), _pipelined_fps(enqueue, N_FRAMES)
 
 
 def measure_slam(frames_d, tracking: str = "vo") -> float:
@@ -214,14 +268,17 @@ def measure_slam(frames_d, tracking: str = "vo") -> float:
             lambda c: jax.random.fold_in(jax.random.PRNGKey(seed), c)
         )(jnp.arange(n_chunks, dtype=jnp.int32))
 
-    def dispatch(seed):
+    def enqueue(seed):
         _, outs = system._sequence_jit(
             chunks_d, chunk_valid, carry0, keys_for(seed)
         )
-        jax.block_until_ready(outs["poses"])
+        return outs["poses"]
+
+    def dispatch(seed):
+        jax.block_until_ready(enqueue(seed))
 
     dispatch(0)  # compile + warm
-    return _median_fps(dispatch, N_FRAMES)
+    return _median_fps(dispatch, N_FRAMES), _pipelined_fps(enqueue, N_FRAMES)
 
 
 def measure_multiseq(frames: "np.ndarray") -> tuple[float, int]:
@@ -416,13 +473,14 @@ def main() -> None:
     frames_d = _staged(_load_frames(N_FRAMES))
     if "--slam" in sys.argv:
         tracking = "pnp" if "--pnp" in sys.argv else "vo"
-        fps = measure_slam(frames_d, tracking=tracking)
+        fps, pipe = measure_slam(frames_d, tracking=tracking)
         print(json.dumps({
             "metric": f"slam_{tracking}_throughput_kitti"
             if tracking == "pnp" else "slam_throughput_kitti",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 500.0, 4),
+            "pipelined_fps": round(pipe, 2),
         }))
         return
     if "--pyramid" in sys.argv:
@@ -460,22 +518,32 @@ def main() -> None:
         }))
         return
     if "--pnp" in sys.argv:
-        fps = measure_pnp(frames_d)
+        fps, pipe = measure_pnp(frames_d)
         print(json.dumps({
             "metric": "pnp_throughput_kitti",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 500.0, 4),
+            "pipelined_fps": round(pipe, 2),
         }))
         return
 
     vo_fps = measure_vo(frames_d)
-    print(json.dumps({
+    record = {
         "metric": "vo_throughput_kitti",
         "value": round(vo_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vo_fps / 500.0, 4),
-    }), flush=True)
+    }
+    pipelined = measure_vo_pipelined(frames_d)
+    if pipelined:
+        # Auxiliary, clearly labeled: K fresh-keys dispatches enqueued
+        # back-to-back and blocked once — the steady-state deployment
+        # number, with the remote tunnel's per-dispatch round trip
+        # amortised instead of charged to every dispatch (the headline
+        # `value` stays the round-4-comparable single-dispatch median).
+        record["pipelined_fps"] = round(pipelined, 2)
+    print(json.dumps(record), flush=True)
 
 
 def _env_float(name: str, default: float) -> float:
@@ -569,6 +637,14 @@ def orchestrate() -> None:
             record.update(rec)
         else:
             record[key] = rec["value"]
+            if "pipelined_fps" in rec:
+                record[key.replace("_fps", "_pipelined_fps")] = rec[
+                    "pipelined_fps"
+                ]
+            if "from_scratch_96f" in rec:
+                record["localization_from_scratch_96f"] = rec[
+                    "from_scratch_96f"
+                ]
         if skipped:
             record["aux_skipped"] = (
                 f"{'+'.join(skipped)}: mode timed out or budget exhausted "
