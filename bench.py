@@ -153,7 +153,9 @@ def measure_vo(frames_d, config_dir: str = "configs") -> float:
     return _median_fps(dispatch, N_FRAMES)
 
 
-def measure_vo_pipelined(frames_d, k: int = 8) -> float | None:
+def measure_vo_pipelined(
+    frames_d, k: int = 8, config_dir: str = "configs"
+) -> float | None:
     """Steady-state VO throughput: k fresh-keys dispatches, one barrier.
 
     The single-dispatch protocol charges the remote tunnel's full
@@ -170,8 +172,8 @@ def measure_vo_pipelined(frames_d, k: int = 8) -> float | None:
     from tpuslam.config.schema import SlamConfig
     from tpuslam.model.slam import SlamPipeline
 
-    camera = Camera.from_yaml(REPO_ROOT / "configs" / "camera.yml")
-    config = SlamConfig.from_yaml_dir(REPO_ROOT / "configs", batch_size=BATCH)
+    camera = Camera.from_yaml(REPO_ROOT / config_dir / "camera.yml")
+    config = SlamConfig.from_yaml_dir(REPO_ROOT / config_dir, batch_size=BATCH)
     pipeline = SlamPipeline(camera, config)
     state = pipeline.initial_state()
     chunks_d = frames_d.reshape(-1, BATCH, *frames_d.shape[1:])
@@ -488,11 +490,13 @@ def main() -> None:
         # in BASELINE.md — the headline protocol stays single-scale (the
         # KITTI forward-motion configuration).
         fps = measure_vo(frames_d, config_dir="configs/multiscale")
+        pipe = measure_vo_pipelined(frames_d, config_dir="configs/multiscale")
         print(json.dumps({
             "metric": "vo_pyramid_throughput_kitti",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 500.0, 4),
+            "pipelined_fps": round(pipe, 2),
         }))
         return
     if "--fast" in sys.argv:
@@ -500,11 +504,13 @@ def main() -> None:
         # continuous-video profile; fixture ATE parity identical to the
         # default (see configs/fast/pose_estimator.yml for the envelope).
         fps = measure_vo(frames_d, config_dir="configs/fast")
+        pipe = measure_vo_pipelined(frames_d, config_dir="configs/fast")
         print(json.dumps({
             "metric": "vo_fast_throughput_kitti",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 500.0, 4),
+            "pipelined_fps": round(pipe, 2),
         }))
         return
     if "--multiseq" in sys.argv:

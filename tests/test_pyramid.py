@@ -136,3 +136,44 @@ def test_pyramid_canvas_matches_loop(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(kc.angle), np.asarray(kl.angle))
     np.testing.assert_array_equal(np.asarray(dc), np.asarray(dl))
+
+
+def test_banded_resize_matches_dense():
+    """The banded-block resize (the TPU production path — see
+    _resize_weight_blocks) uses EXACTLY jax.image.resize's weight matrix,
+    cut into per-tile bands; outputs differ from the dense full-f32
+    resize only by bf16 operand rounding (≤2 gray levels), the same
+    envelope as the shipped DEFAULT-precision change."""
+    import jax
+
+    from tpuslam.frontend.detector import (
+        _resize_banded_f32,
+        _resize_weight_blocks,
+    )
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 256, (2, 512, 1392), dtype=np.uint8))
+    for h_out, w_out in [(427, 1160), (296, 806), (64, 128)]:
+        ref = jax.image.resize(
+            img.astype(jnp.float32), (2, h_out, w_out), method="linear"
+        )
+        got = _resize_banded_f32(img, h_out, w_out)
+        ref_u8 = np.clip(np.round(np.asarray(ref)), 0, 255)
+        got_u8 = np.clip(np.round(np.asarray(got)), 0, 255)
+        assert np.abs(ref_u8 - got_u8).max() <= 2, (h_out, w_out)
+
+    # Weight blocks reassemble the exact dense matrix (zero-padded rows
+    # beyond n_out; overlapping bands carry identical coefficients).
+    starts, blocks = _resize_weight_blocks(512, 427)
+    dense = np.asarray(
+        jax.image.resize(
+            jnp.eye(512, dtype=jnp.float32), (427, 512), method="linear",
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    blocks = np.asarray(blocks, np.float32)
+    tile, span = blocks.shape[1], blocks.shape[2]
+    rebuilt = np.zeros((len(starts) * tile, 512), np.float32)
+    for t, s in enumerate(starts):
+        rebuilt[t * tile : (t + 1) * tile, s : s + span] = blocks[t]
+    np.testing.assert_allclose(rebuilt[:427], dense, atol=1e-7)

@@ -8,6 +8,7 @@ and validates the YAML config and fixes the BRIEF pattern once; ``detect``,
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from pathlib import Path
 
@@ -200,6 +201,20 @@ class FeatureDetector:
                     window=c.suppression_window_size, max_keypoints=max_keypoints,
                 )
             )(corner, score)
+            if os.environ.get("TPUSLAM_SELECT_DOUBLE") == "1":
+                # measurement aid (BASELINE doubling-probe protocol): run
+                # the NMS+top-k select a second time on a perturbed score
+                # and fold a barriered zero into the output — the end-to-
+                # end FPS delta is the select stage's true in-situ cost.
+                kps_b = jax.vmap(
+                    lambda co, sc: select_keypoints(
+                        co, sc, nms=c.non_max_suppression,
+                        window=c.suppression_window_size,
+                        max_keypoints=max_keypoints,
+                    )
+                )(corner, score + 1)
+                z = jax.lax.optimization_barrier(kps_b.response[0, 0]) * 0.0
+                kps = kps._replace(xy=kps.xy + z)
             if c.brief_quantized_bins > 0:
                 return _compute_batch_fused(
                     blur, kps, self.pattern, self.bin_weights_3d,
@@ -273,6 +288,16 @@ class FeatureDetector:
         # per level.  Interpolation compounds slightly (bilinear of
         # bilinear); the pyramid quality tests gate the behaviour.
         cascade = os.environ.get("TPUSLAM_PYRAMID_CASCADE", "0") == "1"
+        # Banded-block resize on TPU (same weights, 3-9× smaller matmul
+        # contraction, see _resize_weight_blocks); dense jax.image.resize
+        # on CPU (tests: full-f32 DEFAULT there, bit-identical to before)
+        # and as the TPUSLAM_RESIZE_BANDED=0 fallback.  Decided HERE (a
+        # plain function re-run on every outer trace), not inside the
+        # inner-jitted resize, so in-process A/B can flip it per pipeline.
+        banded = (
+            self.use_pallas
+            and os.environ.get("TPUSLAM_RESIZE_BANDED", "1") == "1"
+        )
         kp_parts: list[KeypointSet] = []
         desc_parts: list[jax.Array] = []
         prev = images
@@ -281,10 +306,25 @@ class FeatureDetector:
                 img = images
             else:
                 img = _resize_batch_u8(
-                    prev if cascade else images, h_l, w_l
+                    prev if cascade else images, h_l, w_l, banded=banded
                 )
             prev = img
             kps, desc = self._level_batch(img, cap)
+            if level > 0 and os.environ.get("TPUSLAM_LEVEL_DOUBLE") == "1":
+                # measurement aid: repeat the ENTIRE non-resize per-level
+                # work (blur+FAST kernel, NMS+select, orientation+BRIEF)
+                # of levels ≥1 on a perturbed image — the FPS delta is the
+                # true in-situ cost of the pyramid's extra detect/describe
+                # passes, separating them from the resize line
+                # (TPUSLAM_RESIZE_DOUBLE probes that one).
+                _, desc_b = self._level_batch(img ^ jnp.uint8(1), cap)
+                z = (
+                    jax.lax.optimization_barrier(desc_b[0, 0, 0]).astype(
+                        jnp.float32
+                    )
+                    * 0.0
+                )
+                kps = kps._replace(xy=kps.xy + z)
             scale = jnp.float32(c.scale_factor**level)
             kps = kps._replace(xy=kps.xy * scale)
             kp_parts.append(kps)
@@ -417,8 +457,121 @@ class FeatureDetector:
         return kps, jnp.concatenate(desc_parts, axis=1)
 
 
+_RESIZE_BLOCKS_CACHE: dict = {}
+
+
+def _resize_weight_blocks(
+    n_in: int, n_out: int, tile: int = 128
+) -> tuple[tuple[int, ...], jax.Array]:
+    """Banded tile blocks of jax.image.resize's linear weight matrix.
+
+    ``jax.image.resize(method="linear")`` is a pair of DENSE matmuls with
+    weight matrices that are ~99% zeros: the antialiased triangle kernel at
+    pyramid scales (1.2-1.73) has only 3-5 nonzero taps per output row out
+    of the full 512/1392-wide contraction.  The in-situ doubling probe
+    measured those dense matmuls at 0.38 ms/frame — the pyramid config's
+    single largest marginal line (BASELINE.md round-5).  This extracts the
+    EXACT weight matrix (by resizing an identity — resize is linear, so
+    ``resize(I)`` IS the matrix) and cuts it into per-output-tile banded
+    blocks: each block of ``tile`` output rows only contracts over the
+    ``S ≈ tile·scale + taps`` input rows its band touches, shrinking the
+    matmul contraction 3-9× at identical weights.
+
+    Returns ``(starts, blocks)``: per-tile input offsets and a
+    ``(T, tile, S)`` bf16 block stack (bf16 matches what DEFAULT-precision
+    matmuls already do to their operands on TPU).
+    """
+    import numpy as np
+
+    key = (n_in, n_out, tile)
+    hit = _RESIZE_BLOCKS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # ensure_compile_time_eval: this runs at first trace of the jitted
+    # resize — force the identity-resize to evaluate eagerly instead of
+    # being staged into the surrounding jaxpr.
+    with jax.ensure_compile_time_eval():
+        wm = np.asarray(
+            jax.image.resize(
+                jnp.eye(n_in, dtype=jnp.float32), (n_out, n_in),
+                method="linear", precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    n_tiles = -(-n_out // tile)
+    wp = np.zeros((n_tiles * tile, n_in), np.float32)
+    wp[:n_out] = wm
+    spans = []
+    for t in range(n_tiles):
+        rows = wp[t * tile : (t + 1) * tile]
+        nz = np.nonzero(np.abs(rows).sum(axis=0) > 0)[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 1)
+        spans.append((lo, hi))
+    span = max(hi - lo for lo, hi in spans)
+    span = min(-(-span // 8) * 8, n_in)  # sublane-aligned contraction dim
+    starts = tuple(min(max(lo, 0), n_in - span) for lo, _ in spans)
+    blocks = np.stack(
+        [wp[t * tile : (t + 1) * tile, s : s + span] for t, s in enumerate(starts)]
+    )
+    # Cache HOST arrays only: a jnp constant created under an ambient jit
+    # trace would cache a tracer (leaked across traces); callers convert.
+    out = (starts, blocks)
+    _RESIZE_BLOCKS_CACHE[key] = out
+    return out
+
+
 @partial(jax.jit, static_argnames=("h_out", "w_out"))
-def _resize_batch_u8(images: jax.Array, h_out: int, w_out: int) -> jax.Array:
+def _resize_banded_f32(images: jax.Array, h_out: int, w_out: int) -> jax.Array:
+    """Banded-block bilinear resize: (B, H, W) → (B, h_out, w_out) f32.
+
+    Same weights as ``jax.image.resize`` (see ``_resize_weight_blocks``);
+    operands in bf16 exactly as a DEFAULT-precision dense matmul would be,
+    accumulation in f32.
+    """
+    b, h, w = images.shape
+    v_starts, v_blocks_np = _resize_weight_blocks(h, h_out)
+    h_starts, h_blocks_np = _resize_weight_blocks(w, w_out)
+    v_blocks = jnp.asarray(v_blocks_np, jnp.bfloat16)
+    h_blocks = jnp.asarray(h_blocks_np, jnp.bfloat16)
+    sv = v_blocks.shape[2]
+    # Per-tile dots with b as a REAL dot batch dim (broadcast blocks):
+    # every operand/output keeps its natural (b, M, N) layout — a single
+    # batched einsum here lowered to grouped convolutions plus two ~32 MB
+    # relayout copies per pass (inspected HLO), which ate the entire FLOP
+    # saving.  T is 3-10, the blocks are ≤1 MB broadcast, and each dot is
+    # a clean (K, S)×(S, N) GEMM.
+    parts = []
+    for t, s in enumerate(v_starts):
+        tile = jax.lax.slice_in_dim(images, s, s + sv, axis=1)  # (B, Sv, W)
+        blk = jnp.broadcast_to(v_blocks[t], (b, *v_blocks[t].shape))
+        parts.append(
+            jnp.einsum(
+                "bks,bsw->bkw",
+                blk,
+                tile.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    inter = jnp.concatenate(parts, axis=1)[:, :h_out].astype(jnp.bfloat16)
+    sh = h_blocks.shape[2]
+    parts = []
+    for t, s in enumerate(h_starts):
+        tile = jax.lax.slice_in_dim(inter, s, s + sh, axis=2)  # (B, h_out, Sh)
+        blk = jnp.broadcast_to(h_blocks[t], (b, *h_blocks[t].shape))
+        parts.append(
+            jnp.einsum(
+                "bhs,bks->bhk",
+                tile,
+                blk,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(parts, axis=2)[:, :, :w_out]
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out", "banded"))
+def _resize_batch_u8(
+    images: jax.Array, h_out: int, w_out: int, banded: bool = False
+) -> jax.Array:
     """Bilinear (B, H, W) uint8 resize — the pyramid downscale.
 
     DEFAULT matmul precision, not jax.image.resize's HIGHEST (a 6-pass
@@ -430,30 +583,34 @@ def _resize_batch_u8(images: jax.Array, h_out: int, w_out: int) -> jax.Array:
     values themselves are exact in bf16 (integers ≤ 256).  On CPU
     (tests) DEFAULT is full f32 — bit-identical to before.
     """
-    import os
-
     precision = (
         jax.lax.Precision.HIGHEST  # the pre-round-5 behaviour, for A/B
         if os.environ.get("TPUSLAM_RESIZE_HIGHEST") == "1"
         else jax.lax.Precision.DEFAULT
     )
-    out = jax.image.resize(
-        images.astype(jnp.float32),
-        (images.shape[0], h_out, w_out),
-        method="linear",
-        precision=precision,
-    )
+    # ``banded`` is a STATIC argument decided by the caller (trace-time
+    # env reads inside this inner-jitted function would be frozen into
+    # the first trace's cached jaxpr and silently reused by later outer
+    # traces — an in-process A/B could never flip it).
+    banded = banded and os.environ.get("TPUSLAM_RESIZE_HIGHEST") != "1"
+
+    def one_resize(imgs):
+        if banded:
+            return _resize_banded_f32(imgs, h_out, w_out)
+        return jax.image.resize(
+            imgs.astype(jnp.float32),
+            (imgs.shape[0], h_out, w_out),
+            method="linear",
+            precision=precision,
+        )
+
+    out = one_resize(images)
     if os.environ.get("TPUSLAM_RESIZE_DOUBLE") == "1":  # measurement aid:
         # run the resize a second time on a perturbed input and fold a
         # zero into the output (CSE/DCE-proof) — the end-to-end FPS delta
         # is the resize's true in-situ cost (the BASELINE doubling-probe
         # protocol).
-        out2 = jax.image.resize(
-            images.astype(jnp.float32) + 1.0,
-            (images.shape[0], h_out, w_out),
-            method="linear",
-            precision=precision,
-        )
+        out2 = one_resize(images ^ jnp.uint8(1))
         out = out + (jax.lax.optimization_barrier(out2[0, 0, 0]) * 0.0)
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
